@@ -1,0 +1,42 @@
+from .quadrature import triangle_quadrature
+from .basis import p1_basis, p2_basis, P1_DIM, P2_DIM
+from .assemble import (
+    ElementGeometry,
+    element_geometry,
+    scatter_add_dense,
+    assemble_scalar_block,
+    StokesOperators,
+    assemble_stokes,
+    assemble_velocity_mass,
+    assemble_convection,
+    assemble_load_sincos,
+    assemble_load_from_velocity_values,
+    assemble_load_constant,
+    apply_bc_matrix,
+    apply_bc_vector,
+)
+from .bcs import BoundaryCondition, make_bc, BCData
+
+__all__ = [
+    "triangle_quadrature",
+    "p1_basis",
+    "p2_basis",
+    "P1_DIM",
+    "P2_DIM",
+    "ElementGeometry",
+    "element_geometry",
+    "scatter_add_dense",
+    "assemble_scalar_block",
+    "StokesOperators",
+    "assemble_stokes",
+    "assemble_velocity_mass",
+    "assemble_convection",
+    "assemble_load_sincos",
+    "assemble_load_from_velocity_values",
+    "assemble_load_constant",
+    "apply_bc_matrix",
+    "apply_bc_vector",
+    "BoundaryCondition",
+    "make_bc",
+    "BCData",
+]
