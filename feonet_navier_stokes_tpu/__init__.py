@@ -21,3 +21,7 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from . import fem, geometry, linalg, models, parallel, problems, residual, sampling, train
+from .problems import Problem, ProblemConfig, build_problem
+from .train import Trainer, TrainConfig

@@ -1,0 +1,16 @@
+"""Dense linear algebra: SPAI preconditioner, ground-truth solvers, Newton."""
+
+from .spai import spai, condition_number
+from .solvers import solve_dense, solve_dense_batched, implicit_euler_rollout
+from .newton import masked_convection, ns_residual, newton_solve_ns
+
+__all__ = [
+    "spai",
+    "condition_number",
+    "solve_dense",
+    "solve_dense_batched",
+    "implicit_euler_rollout",
+    "masked_convection",
+    "ns_residual",
+    "newton_solve_ns",
+]

@@ -1,0 +1,163 @@
+"""Steady coefficient predictors: Net2D CNN, FCNN MLP, UNetWithHead.
+
+Behavioral parity with the reference model zoo
+(FEONet_Stokes_square/network.py — identical file in all three steady dirs):
+  * Net2D      :54-84   conv(k,same) -> SiLU -> blocks x (conv+SiLU) -> conv
+                         -> flatten -> Dense(ng)
+  * FCNN       :120-138 MLP with Tanh + Dropout
+  * UNetWithHead :143-268 2-level U-Net (DoubleConv = 2x[Conv-BN-SiLU],
+                         MaxPool, ConvTranspose skips) -> 1x1 latent proj ->
+                         Net2D-style head
+
+TPU-first deltas from the torch code:
+  * NHWC layout (XLA's native conv layout) instead of NCHW.
+  * ``compute_dtype`` lets the conv/matmul path run in bfloat16 on the MXU
+    while params and the final coefficient head stay float32.
+  * Output is (B, ng) — the reference's (B, 1, ng) unsqueeze is dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jnp.ndarray
+
+
+class Net2D(nn.Module):
+    """Plain conv stack + linear head (reference Net2D, network.py:54-84)."""
+
+    d_out: int
+    filters: int = 32
+    kernel_size: int = 5
+    blocks: int = 0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k = (self.kernel_size, self.kernel_size)
+        x = x.astype(self.compute_dtype)
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        for _ in range(self.blocks):
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+
+
+class FCNN(nn.Module):
+    """MLP on the 6 forcing parameters (reference FCNN, network.py:120-138).
+
+    Trainer instantiates hidden_dims=[16,32,64,128,256]
+    (FEONet_Stokes_square/train_FEONet.py:157).
+    """
+
+    d_out: int
+    hidden_dims: Sequence[int] = (16, 32, 64, 128, 256)
+    dropout: float = 0.2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = x.astype(self.compute_dtype)
+        for h in self.hidden_dims:
+            x = jnp.tanh(nn.Dense(h, dtype=self.compute_dtype)(x))
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.d_out, dtype=jnp.float32)(x.astype(jnp.float32))
+
+
+class ConvBNAct(nn.Module):
+    features: int
+    kernel: int = 3
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel), padding="SAME",
+            dtype=self.compute_dtype,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        return nn.silu(x)
+
+
+class DoubleConv(nn.Module):
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = ConvBNAct(self.features, compute_dtype=self.compute_dtype)(x, train)
+        return ConvBNAct(self.features, compute_dtype=self.compute_dtype)(x, train)
+
+
+class UNetFeatureExtractor(nn.Module):
+    """2-level U-Net, spatial-size preserving (network.py:165-211)."""
+
+    base_ch: int = 32
+    latent_ch: int = 64
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cd = self.compute_dtype
+        x = x.astype(cd)
+        e1 = DoubleConv(self.base_ch, cd)(x, train)
+        e2 = DoubleConv(self.base_ch * 2, cd)(nn.max_pool(e1, (2, 2), (2, 2)), train)
+        b = DoubleConv(self.base_ch * 4, cd)(nn.max_pool(e2, (2, 2), (2, 2)), train)
+
+        d2 = nn.ConvTranspose(self.base_ch * 2, (2, 2), (2, 2), dtype=cd)(b)
+        d2 = DoubleConv(self.base_ch * 2, cd)(jnp.concatenate([d2, e2], -1), train)
+        d1 = nn.ConvTranspose(self.base_ch, (2, 2), (2, 2), dtype=cd)(d2)
+        d1 = DoubleConv(self.base_ch, cd)(jnp.concatenate([d1, e1], -1), train)
+        return nn.Conv(self.latent_ch, (1, 1), dtype=cd)(d1)
+
+
+class UNetHead(nn.Module):
+    """Net2D-style conv head on the latent (network.py:216-240)."""
+
+    d_out: int
+    filters: int = 64
+    kernel_size: int = 7
+    blocks: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = (self.kernel_size, self.kernel_size)
+        cd = self.compute_dtype
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd)(x))
+        for _ in range(self.blocks):
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd)(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=cd)(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+
+
+class UNetWithHead(nn.Module):
+    """The reference's best steady model (network.py:246-268); trainer config
+    base_ch=32, latent_ch=64, head_filters=FILTERS, head_blocks=BLOCKS
+    (train_FEONet.py:159-167)."""
+
+    d_out: int
+    base_ch: int = 32
+    latent_ch: int = 64
+    head_filters: int = 64
+    head_kernel_size: int = 7
+    head_blocks: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        latent = UNetFeatureExtractor(
+            self.base_ch, self.latent_ch, self.compute_dtype
+        )(x, train)
+        return UNetHead(
+            self.d_out,
+            self.head_filters,
+            self.head_kernel_size,
+            self.head_blocks,
+            self.compute_dtype,
+        )(latent)

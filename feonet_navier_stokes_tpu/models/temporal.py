@@ -1,0 +1,199 @@
+"""Temporal models for the time-dependent Stokes rollout.
+
+Parity targets (FEONet_time_dep_Stokes/network.py):
+  * UNet2DTemporalRepeat  :37-130  U-Net latent -> global avg-pool -> Dense ->
+                                   repeat T -> per-step Dense (the "UNet2D"
+                                   trainer option)
+  * UNetTemporal          :150-198 U-Net latent -> GRU/LSTM over T steps
+  * UNet1D                :216-327 1D U-Net over the DoF axis, input
+                                   [u0; xy-coords]; the reference constructs
+                                   an nn.Linear INSIDE forward (network.py:306
+                                   — untrained params every call, SURVEY.md
+                                   "warts"); here the hidden->seq_len
+                                   projection is a real parameter.
+  * CoeffRNN              :342-398 u0 -> tanh(Dense) initial hidden state,
+                                   autoregressive GRU/LSTM emitting T
+                                   coefficient vectors (the "RNN" option).
+
+All run the time axis under ``lax.scan`` (via flax nn.RNN / nn.scan) — the
+reference's Python-loop autoregression (network.py:392-398) is a trace-time
+unroll we avoid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .steady import UNetFeatureExtractor, DoubleConv
+
+Array = jnp.ndarray
+
+
+def _cell(rnn_type: str, hidden: int):
+    if rnn_type.lower() == "gru":
+        return nn.GRUCell(features=hidden)
+    if rnn_type.lower() == "lstm":
+        return nn.OptimizedLSTMCell(features=hidden)
+    raise ValueError(f"rnn_type must be 'gru' or 'lstm', got {rnn_type!r}")
+
+
+class UNet2DTemporalRepeat(nn.Module):
+    """U-Net on the IC grid; head repeats the pooled latent across T and
+    applies a shared per-step projection (reference UNetWithHead in the
+    time-dep network.py:88-130)."""
+
+    d_out: int
+    seq_len: int
+    base_ch: int = 32
+    latent_ch: int = 16
+    hidden: int = 128
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        latent = UNetFeatureExtractor(self.base_ch, self.latent_ch, self.compute_dtype)(
+            x, train
+        )  # (B, H, W, d)
+        g = latent.mean(axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        h = nn.silu(nn.Dense(self.hidden)(g.astype(jnp.float32)))
+        h = jnp.repeat(h[:, None, :], self.seq_len, axis=1)  # (B, T, hidden)
+        return nn.Dense(self.d_out)(h)
+
+
+class UNetTemporal(nn.Module):
+    """U-Net latent -> GRU/LSTM head over T (reference UNetWithTemporalHead,
+    network.py:150-198: pooled latent -> tanh(Dense) -> repeated as the RNN
+    *input* sequence, zero initial state)."""
+
+    d_out: int
+    seq_len: int
+    base_ch: int = 32
+    latent_ch: int = 16
+    hidden: int = 128
+    rnn_type: str = "gru"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        latent = UNetFeatureExtractor(self.base_ch, self.latent_ch, self.compute_dtype)(
+            x, train
+        )
+        g = latent.mean(axis=(1, 2)).astype(jnp.float32)
+        h = jnp.tanh(nn.Dense(self.hidden)(g))
+        seq_in = jnp.repeat(h[:, None, :], self.seq_len, axis=1)
+        out = nn.RNN(_cell(self.rnn_type, self.hidden))(seq_in)  # (B, T, hidden)
+        return nn.Dense(self.d_out)(out)
+
+
+class ConvBNAct1D(nn.Module):
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = nn.Conv(self.features, (3,), padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        return nn.silu(x)
+
+
+class DoubleConv1D(nn.Module):
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        x = ConvBNAct1D(self.features, self.compute_dtype)(x, train)
+        return ConvBNAct1D(self.features, self.compute_dtype)(x, train)
+
+
+def _interp_linear(x: Array, size: int) -> Array:
+    """Length-axis linear resize for (B, N, C) — torch F.interpolate(mode=
+    'linear', align_corners=False) equivalent."""
+    return jax.image.resize(x, (x.shape[0], size, x.shape[2]), method="linear")
+
+
+class UNet1D(nn.Module):
+    """1D U-Net over the DoF axis; input (B, N, C) with C=[u0, x, y]
+    channels; output (B, seq_len, N) (reference UNetWithHead1D,
+    network.py:216-327)."""
+
+    seq_len: int
+    base_ch: int = 32
+    latent_ch: int = 16
+    hidden: int = 128
+    head_kernel: int = 7
+    head_blocks: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cd = self.compute_dtype
+        x = x.astype(cd)
+        e1 = DoubleConv1D(self.base_ch, cd)(x, train)
+        p1 = nn.max_pool(e1, (2,), (2,), padding=((0, e1.shape[1] % 2),))
+        e2 = DoubleConv1D(self.base_ch * 2, cd)(p1, train)
+        p2 = nn.max_pool(e2, (2,), (2,), padding=((0, e2.shape[1] % 2),))
+        b = DoubleConv1D(self.base_ch * 4, cd)(p2, train)
+
+        d2 = _interp_linear(b, e2.shape[1])
+        d2 = DoubleConv1D(self.base_ch * 2, cd)(jnp.concatenate([d2, e2], -1), train)
+        d1 = _interp_linear(d2, e1.shape[1])
+        d1 = DoubleConv1D(self.base_ch, cd)(jnp.concatenate([d1, e1], -1), train)
+        latent = nn.Conv(self.latent_ch, (1,), dtype=cd)(d1)  # (B, N, latent)
+
+        # head: conv stack then a REAL hidden->seq_len parameter (fixes the
+        # reference's Linear-inside-forward bug, network.py:306).
+        h = nn.silu(nn.Conv(self.hidden, (self.head_kernel,), padding="SAME", dtype=cd)(latent))
+        for _ in range(self.head_blocks):
+            h = nn.silu(nn.Conv(self.hidden, (self.head_kernel,), padding="SAME", dtype=cd)(h))
+        h = nn.Conv(self.hidden, (self.head_kernel,), padding="SAME", dtype=cd)(h)
+        out = nn.Dense(self.seq_len)(h.astype(jnp.float32))  # (B, N, T)
+        return jnp.swapaxes(out, 1, 2)  # (B, T, N)
+
+
+class _ARStep(nn.Module):
+    """One autoregressive step: (rnn_carry, prev_vec) -> emit next vec."""
+
+    hidden: int
+    d_out: int
+    rnn_type: str
+
+    @nn.compact
+    def __call__(self, carry, _):
+        rnn_carry, prev_vec = carry
+        new_carry, h = _cell(self.rnn_type, self.hidden)(rnn_carry, prev_vec)
+        vec = nn.Dense(self.d_out)(h)
+        return (new_carry, vec), vec
+
+
+class CoeffRNN(nn.Module):
+    """Autoregressive coefficient RNN (reference VectorToSequenceRNN,
+    network.py:342-398): h0 = tanh(Dense(u0)), start token 0, each step feeds
+    the previous emitted coefficient vector back in — here a single
+    ``nn.scan`` instead of the reference's Python loop."""
+
+    d_out: int
+    seq_len: int
+    hidden: int = 512
+    rnn_type: str = "gru"
+
+    @nn.compact
+    def __call__(self, u0: Array, train: bool = False) -> Array:
+        B = u0.shape[0]
+        h0 = jnp.tanh(nn.Dense(self.hidden)(u0.astype(jnp.float32)))
+        if self.rnn_type.lower() == "lstm":
+            carry0 = (jnp.zeros_like(h0), h0)  # flax LSTM carry = (c, h)
+        else:
+            carry0 = h0
+        AR = nn.scan(
+            _ARStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.seq_len,
+            out_axes=1,
+        )
+        start = jnp.zeros((B, self.d_out), dtype=jnp.float32)
+        _, ys = AR(self.hidden, self.d_out, self.rnn_type)((carry0, start), None)
+        return ys

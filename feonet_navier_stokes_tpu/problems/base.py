@@ -1,0 +1,467 @@
+"""Problem setup: mesh + space + BCs + operators + samplers + ground truth.
+
+Per-problem constants (verified against the reference scripts):
+
+  stokes_square    mu=0.1, grad form, signs (-1,-1)
+                   (FEONet_Stokes_square/assemble_fenics.py:59-60)
+  stokes_hole      mu=0.1, symmetric-gradient form, signs (-1,+1)
+                   (FEONet-square-with-hole/assemble_fenics.py:88-90)
+  steady_ns        mu=0.1, grad form, signs (-1,-1), convection B1/B2
+                   (FEONet_steady_Navier-Stokes/assemble_fenics.py:88-98)
+  timedep_stokes   mu=1.0, grad form, signs (-1,+1), mass matrix S,
+                   constant forcing (5,-5) or (0,0), dt (default 0.01)
+                   (FEONet_time_dep_Stokes/assemble_fenics.py:108-136)
+
+Upstream warts documented, not replicated by default:
+  * steady_ns ground truth in the reference solves viscosity 0.5*mu while the
+    training system assembles mu (assemble_fenics.py:192 vs :88) — our Newton
+    solves the ASSEMBLED system itself (self-consistent, like the validation
+    notebook compare_ordering_nonlinear.ipynb cell 25).
+  * steady_ns applies bc.apply to B1/B2 in the script but not in the
+    notebook; we default to masked convection rows ('masked'), with 'script'
+    available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import build_taylor_hood, structured_rectangle, square_with_hole_mesh
+from ..geometry.taylor_hood import TaylorHoodSpace
+from ..fem import (
+    assemble_stokes,
+    assemble_velocity_mass,
+    assemble_convection,
+    assemble_load_sincos,
+    assemble_load_constant,
+    assemble_load_from_velocity_values,
+    assemble_scalar_block,
+    apply_bc_matrix,
+    apply_bc_vector,
+    make_bc,
+)
+from ..fem.assemble import physical_quad_points, _load_from_quad_values
+from ..fem.bcs import BCData, square_bcs, hole_bcs
+from ..linalg import (
+    spai,
+    solve_dense_batched,
+    implicit_euler_rollout,
+    newton_solve_ns,
+)
+from ..residual import linear_residual, nonlinear_residual, rollout_residual
+from ..sampling import (
+    sample_sincos_coeffs,
+    sincos_on_grid,
+    grf_cholesky,
+    sample_grf,
+    GridInterpolator,
+    sample_ic_coeffs,
+    lower_ic_at_points,
+    channel_ic_at_points,
+    sample_stream_ic_modes,
+    stream_ic_at_points,
+    lower_ic_on_grid,
+    channel_ic_on_grid,
+)
+
+Array = jax.Array
+
+PROBLEM_NAMES = ("stokes_square", "stokes_hole", "steady_ns", "timedep_stokes")
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Static description of one workload (reference CLI flags, SURVEY.md C29)."""
+
+    name: str = "stokes_square"
+    bc: str = "channel_flow"  # 'lower' | 'zero' | 'channel_flow'
+    forcing: str = "sincos"  # 'sincos' | 'grf' | 'five' | 'zero'
+    nx: int = 6  # structured mesh cells per side (ne = 2*nx^2)
+    hole_h: float = 0.125  # target edge length for the hole mesh
+    resol_in: int = 20  # CNN input grid resolution
+    mu: float | None = None  # None -> problem default
+    dt: float = 0.01
+    seq_len: int = 10  # rollout length for timedep training
+    precond_iters: int = 0  # SPAI iterations (0 = off)
+    ns_bc_rows: str = "masked"  # 'masked' | 'script'
+    ns_truth: str = "weak"  # 'weak' (true trilinear form) | 'group'
+    # The reference's NS ground truth assembles viscosity 0.5*mu while the
+    # training operator uses mu (assemble_fenics.py:192 vs :88 — an upstream
+    # half-viscosity bug, likely a dropped grad-transpose). 1.0 = consistent.
+    ns_truth_mu_factor: float = 1.0
+    validate_form: bool = False  # reference val-set sincos variant
+    dtype: Any = jnp.float32
+
+    def resolved_mu(self) -> float:
+        if self.mu is not None:
+            return self.mu
+        return 1.0 if self.name == "timedep_stokes" else 0.1
+
+
+class Problem:
+    """All static state for one workload + pure jit-friendly methods.
+
+    The heavy constants (operators, Cholesky factor, scatter plans) live as
+    device arrays captured by closure; batches are dicts of arrays so the
+    whole sample->featurize->forward->loss pipeline stays inside one jit.
+    """
+
+    def __init__(self, config: ProblemConfig, space: TaylorHoodSpace, bc: BCData):
+        self.config = config
+        self.space = space
+        c = config
+        dtype = c.dtype
+        mu = c.resolved_mu()
+
+        # Full-Dirichlet velocity BCs ('zero') leave the constant-pressure
+        # nullspace — the discrete system is singular (the reference's
+        # np.linalg.solve returns an arbitrary pressure mean and its
+        # validation compares velocity only, 3_time_Stokes.ipynb cell 22).
+        # We pin the first pressure DoF to 0 so solves are well-posed.
+        if c.bc == "zero" and not np.any(bc.mask[2 * space.n2 :] > 0.5):
+            mask_p = bc.mask.copy()
+            vals_p = bc.values.copy()
+            mask_p[2 * space.n2] = 1.0
+            vals_p[2 * space.n2] = 0.0
+            bc = BCData(mask=mask_p, values=vals_p)
+        self.bc = bc
+        self.mask = jnp.asarray(bc.mask, dtype=dtype)
+        self.bc_values = jnp.asarray(bc.values, dtype=dtype)
+
+        # --- operators (assembled in f64, stored at working precision) ---
+        if c.name == "stokes_hole":
+            A_raw = assemble_stokes(
+                space, mu, viscous_form="sym", div_sign_vp=-1.0, div_sign_pu=+1.0,
+                dtype=jnp.float64,
+            )
+        elif c.name == "timedep_stokes":
+            A_raw = assemble_stokes(
+                space, mu, div_sign_vp=-1.0, div_sign_pu=+1.0, dtype=jnp.float64
+            )
+        else:
+            A_raw = assemble_stokes(space, mu, dtype=jnp.float64)
+        A64 = apply_bc_matrix(A_raw, jnp.asarray(bc.mask))
+        self.A = A64.astype(dtype)
+        self.A64 = A64
+
+        self.B1 = self.B2 = None
+        self.conv_row_mask = None
+        if c.name == "steady_ns":
+            B1, B2 = assemble_convection(space, dtype=jnp.float64)
+            if c.ns_bc_rows == "script":
+                B1 = apply_bc_matrix(B1, jnp.asarray(bc.mask))
+                B2 = apply_bc_matrix(B2, jnp.asarray(bc.mask))
+            else:
+                self.conv_row_mask = self.mask
+            self.B1, self.B2 = B1.astype(dtype), B2.astype(dtype)
+            self.B1_64, self.B2_64 = B1, B2
+            # true trilinear convection for the ground-truth Newton
+            from ..fem.nonlinear import make_true_convection
+
+            self._conv_fn, self._jac_fn = make_true_convection(space)
+            if c.ns_truth_mu_factor != 1.0:
+                A_truth = assemble_stokes(space, mu * c.ns_truth_mu_factor, dtype=jnp.float64)
+                self.A_truth64 = apply_bc_matrix(A_truth, jnp.asarray(bc.mask))
+            else:
+                self.A_truth64 = A64
+
+        self.S = None
+        if c.name == "timedep_stokes":
+            S64 = apply_bc_matrix(
+                assemble_velocity_mass(space, dtype=jnp.float64), jnp.asarray(bc.mask)
+            )
+            self.S = S64.astype(dtype)
+            self.S64 = S64
+            f_const = (5.0, -5.0) if c.forcing == "five" else (0.0, 0.0)
+            load64 = assemble_load_constant(space, f_const, dtype=jnp.float64)
+            load64 = apply_bc_vector(
+                load64, jnp.asarray(bc.mask), jnp.asarray(bc.values)
+            )
+            self.load_const = load64.astype(dtype)
+            self.load_const64 = load64
+            self.sys64 = self.S64 + c.dt * A64
+            self.sys = self.sys64.astype(dtype)
+
+        # --- SPAI preconditioner & the training operator ---
+        base64 = self.sys64 if c.name == "timedep_stokes" else A64
+        if c.precond_iters > 0:
+            self.precond64 = spai(base64, c.precond_iters)
+            self.precond = self.precond64.astype(dtype)
+            self.op_train = (base64 @ self.precond64).astype(dtype)
+        else:
+            self.precond = None
+            self.op_train = base64.astype(dtype)
+
+        # --- sampling state ---
+        if c.forcing == "grf":
+            self.grf_chol = grf_cholesky(space.p2_coords)
+            self.interp = GridInterpolator.build(space.p2_coords, c.resol_in)
+        else:
+            self.grf_chol = None
+            self.interp = None
+
+        if c.name == "timedep_stokes":
+            # P2 scalar mass for IC projection (FEniCS `project`)
+            self.M2_64 = assemble_scalar_block(space, "mass", dtype=jnp.float64)
+
+    # ------------------------------------------------------------------
+    # dimensions / component slices
+    # ------------------------------------------------------------------
+
+    @property
+    def ng(self) -> int:
+        return self.space.ng
+
+    @property
+    def n2(self) -> int:
+        return self.space.n2
+
+    def split_components(self, coeff: Array) -> tuple[Array, Array, Array]:
+        """(..., ng) -> u1 (..., n2), u2 (..., n2), p (..., n1)."""
+        n2 = self.n2
+        return coeff[..., :n2], coeff[..., n2 : 2 * n2], coeff[..., 2 * n2 :]
+
+    # ------------------------------------------------------------------
+    # sampling
+    # ------------------------------------------------------------------
+
+    def sample_batch(self, key: Array, n: int) -> dict[str, Array]:
+        """One problem-instance batch: parameters + (BC-lifted) load vectors.
+
+        Steady problems: {'coeff_f', 'load'} (+ 'grf' for grf forcing).
+        Time-dependent: {'ic_coeffs' or stream modes, 'u_init' (projected)}.
+        """
+        c = self.config
+        dtype = c.dtype
+        if c.name == "timedep_stokes":
+            return self._sample_timedep(key, n)
+        if c.forcing == "sincos":
+            coeffs = sample_sincos_coeffs(key, n, dtype=jnp.float64)
+            load = assemble_load_sincos(
+                self.space, coeffs, dtype=jnp.float64,
+                validate_form=c.validate_form,
+            )
+            load = apply_bc_vector(load, jnp.asarray(self.bc.mask), jnp.asarray(self.bc.values))
+            return {"coeff_f": coeffs.astype(dtype), "load": load.astype(dtype)}
+        if c.forcing == "grf":
+            ux, uy = sample_grf(key, self.grf_chol, n, dtype=jnp.float64)
+            load = assemble_load_from_velocity_values(
+                self.space, ux, uy, dtype=jnp.float64
+            )
+            load = apply_bc_vector(load, jnp.asarray(self.bc.mask), jnp.asarray(self.bc.values))
+            return {
+                "grf_ux": ux.astype(dtype),
+                "grf_uy": uy.astype(dtype),
+                "load": load.astype(dtype),
+            }
+        raise ValueError(f"forcing {c.forcing!r} invalid for {c.name}")
+
+    def _project_velocity_ic(self, values_fn) -> Array:
+        """L2-project an IC (callable coeffs-free closure over quad points)
+        into the P2 velocity space — FEniCS ``project(u_init, V)``
+        (FEONet_time_dep_Stokes/assemble_fenics.py:191)."""
+        degree = 6
+        xq = physical_quad_points(self.space, degree, dtype=jnp.float64)
+        f_quad = values_fn(xq)  # (B, nc, nq, 2)
+        loads = _load_from_quad_values(self.space, f_quad, degree, jnp.float64)
+        n2 = self.n2
+        b1, b2 = loads[:, :n2], loads[:, n2 : 2 * n2]
+        q1 = jnp.linalg.solve(self.M2_64, b1.T).T
+        q2 = jnp.linalg.solve(self.M2_64, b2.T).T
+        B = loads.shape[0]
+        p_zeros = jnp.zeros((B, self.space.n1), dtype=jnp.float64)
+        return jnp.concatenate([q1, q2, p_zeros], axis=1)
+
+    def _sample_timedep(self, key: Array, n: int) -> dict[str, Array]:
+        c = self.config
+        dtype = c.dtype
+        if c.bc == "zero":
+            ks, ls, amps = sample_stream_ic_modes(key, n)
+            u_init = self._project_velocity_ic(
+                lambda xq: stream_ic_at_points(ks, ls, amps, xq)
+            )
+            batch = {
+                "ic_ks": ks,
+                "ic_ls": ls,
+                "ic_amps": amps.astype(dtype),
+            }
+        else:
+            coeffs = sample_ic_coeffs(key, n, c.bc, dtype=jnp.float64)
+            at_points = (
+                lower_ic_at_points if c.bc == "lower" else channel_ic_at_points
+            )
+            u_init = self._project_velocity_ic(lambda xq: at_points(coeffs, xq))
+            batch = {"ic_coeffs": coeffs.astype(dtype)}
+        batch["u_init"] = u_init.astype(dtype)
+        batch["u_init64"] = u_init
+        return batch
+
+    # ------------------------------------------------------------------
+    # model input featurization
+    # ------------------------------------------------------------------
+
+    def model_input(self, batch: dict[str, Array], model_name: str) -> Array:
+        """The reference closure's input branch (train_FEONet.py:275-283 and
+        FEONet_time_dep_Stokes/train_FEONet.py:369-385), as a pure fn."""
+        c = self.config
+        if model_name == "FCNN":
+            return batch["coeff_f"]
+        if model_name == "RNN":
+            return batch["u_init"]
+        if model_name == "UNet1D":
+            coords = jnp.asarray(self.space.mixed_coords(), dtype=batch["u_init"].dtype)
+            coords_b = jnp.broadcast_to(
+                coords[None], (batch["u_init"].shape[0],) + coords.shape
+            )
+            return jnp.concatenate([batch["u_init"][..., None], coords_b], axis=-1)
+        if c.name == "timedep_stokes":
+            resol = 64
+            if c.bc == "lower":
+                return lower_ic_on_grid(batch["ic_coeffs"], resol)
+            if c.bc == "channel_flow":
+                return channel_ic_on_grid(batch["ic_coeffs"], resol)
+            raise ValueError("grid featurization for 'zero' BC ICs not defined "
+                             "in the reference; use RNN/UNet1D models")
+        if c.forcing == "sincos":
+            return sincos_on_grid(batch["coeff_f"], c.resol_in)
+        if c.forcing == "grf":
+            fx = self.interp(batch["grf_ux"])  # (B, R, R)
+            fy = self.interp(batch["grf_uy"])
+            return jnp.stack([fx, fy], axis=-1)
+        raise ValueError(f"no featurization for {c.name}/{c.forcing}")
+
+    # ------------------------------------------------------------------
+    # residual loss + prediction un-mapping
+    # ------------------------------------------------------------------
+
+    def loss(self, pred: Array, batch: dict[str, Array]) -> Array:
+        c = self.config
+        if c.name == "steady_ns":
+            return nonlinear_residual(
+                pred, self.op_train, batch["load"], self.B1, self.B2, self.n2,
+                conv_row_mask=self.conv_row_mask,
+            )
+        if c.name == "timedep_stokes":
+            return rollout_residual(
+                pred, self.S, self.op_train, self.load_const, c.dt, batch["u_init"]
+            )
+        return linear_residual(pred, self.op_train, batch["load"])
+
+    def unmap(self, pred: Array) -> Array:
+        """Map network output to solution coefficients (apply SPAI M)."""
+        if self.precond is None:
+            return pred
+        return pred @ self.precond.T
+
+    # ------------------------------------------------------------------
+    # ground truth
+    # ------------------------------------------------------------------
+
+    def ground_truth(self, batch: dict[str, Array], n_steps: int | None = None) -> Array:
+        """Reference solutions in f64 (the create_data.py replacement).
+
+        steady linear -> (B, ng); steady_ns -> (B, ng) via Newton;
+        timedep -> (B, n_steps+1, ng) implicit-Euler trajectories.
+        """
+        c = self.config
+        if c.name == "timedep_stokes":
+            T = int(round(1.0 / c.dt)) if n_steps is None else n_steps
+            return implicit_euler_rollout(
+                self.S64,
+                self.A64,
+                batch.get("u_init64", batch["u_init"]).astype(jnp.float64),
+                self.load_const64,
+                c.dt,
+                T,
+            )
+        load64 = batch["load"].astype(jnp.float64)
+        if c.name == "steady_ns":
+            u, rel, _ = self._solve_ns_batch(load64)
+            return u
+        return solve_dense_batched(self.A64, load64)
+
+    def _solve_ns_batch(self, load64: Array) -> tuple[Array, Array, Array]:
+        """Newton-solve a batch of NS loads; returns (u, rel_res, iters)."""
+        mask64 = jnp.asarray(self.bc.mask)
+        if self.config.ns_truth == "group":
+            solve_one = lambda f: newton_solve_ns(
+                self.A64, self.B1_64, self.B2_64, f, self.n2,
+                conv_row_mask=mask64,
+            )
+        else:
+            from ..linalg.newton import newton_solve_weak
+
+            solve_one = lambda f: newton_solve_weak(
+                self.A_truth64, self._conv_fn, self._jac_fn, f, mask64
+            )
+        return jax.lax.map(solve_one, load64)
+
+    def sample_converged(
+        self,
+        key: Array,
+        n: int,
+        tol: float = 1e-9,
+        max_rounds: int = 20,
+    ) -> tuple[dict[str, Array], Array]:
+        """Sample n problem instances whose ground truth converges.
+
+        For steady_ns this is the reference's resample-on-Newton-failure loop
+        (FEONet_steady_Navier-Stokes/assemble_fenics.py:204-245: catch
+        RuntimeError, draw again); other problems always converge and return
+        (batch, truth) in one round.
+        Returns (batch, truth).
+        """
+        c = self.config
+        if c.name != "steady_ns":
+            batch = self.sample_batch(key, n)
+            kw = {"n_steps": c.seq_len} if c.name == "timedep_stokes" else {}
+            return batch, self.ground_truth(batch, **kw)
+
+        kept_batches: list[dict[str, Array]] = []
+        kept_truth: list[Array] = []
+        kept = 0
+        for _ in range(max_rounds):
+            need = n - kept
+            if need <= 0:
+                break
+            key, sub = jax.random.split(key)
+            batch = self.sample_batch(sub, need)
+            u, rel, _ = self._solve_ns_batch(batch["load"].astype(jnp.float64))
+            ok = np.asarray(rel) < tol
+            if ok.any():
+                idx = np.nonzero(ok)[0]
+                kept_batches.append({k: v[idx] for k, v in batch.items()})
+                kept_truth.append(u[idx])
+                kept += int(ok.sum())
+        if kept < n:
+            raise RuntimeError(
+                f"only {kept}/{n} NS samples converged after {max_rounds} rounds"
+            )
+        batch = {
+            k: jnp.concatenate([b[k] for b in kept_batches])[:n]
+            for k in kept_batches[0]
+        }
+        return batch, jnp.concatenate(kept_truth)[:n]
+
+
+def build_problem(config: ProblemConfig) -> Problem:
+    """Construct mesh/space/BCs and assemble all operators for a config."""
+    c = config
+    if c.name not in PROBLEM_NAMES:
+        raise ValueError(f"unknown problem {c.name!r}; have {PROBLEM_NAMES}")
+    if c.name == "stokes_hole":
+        mesh = square_with_hole_mesh(h=c.hole_h)
+        space = build_taylor_hood(mesh)
+        bc = make_bc(space, hole_bcs(c.bc))
+    else:
+        mesh = structured_rectangle(c.nx, c.nx)
+        space = build_taylor_hood(mesh)
+        variant = "timedep" if c.name == "timedep_stokes" else "steady"
+        bc = make_bc(space, square_bcs(c.bc, variant=variant))
+    return Problem(config, space, bc)

@@ -1,0 +1,103 @@
+"""The three weak-form residual losses (linear / nonlinear / rollout).
+
+Conventions
+-----------
+* ``op`` is the (BC-applied) system matrix; with SPAI preconditioning pass
+  ``op = A @ M`` — precomputed ONCE by the problem setup, not per step as the
+  reference does (FEONet_Stokes_square/train_FEONet.py:264: `matrix@precond`
+  inside the loss closure).
+* Predictions are (B, ng) (steady) or (B, T, ng) (rollout).
+* Every loss returns a scalar: total sum of squared residual entries —
+  identical up to fusion to the reference's
+  ``sum_i MSE_sum(LHS[:, i], RHS[:, i])`` per-DoF loop
+  (train_FEONet.py:290-296).
+
+Reference sign wart (steady NS): the no-precond branch of the reference
+trains on ``A u + f - conv`` while the precond branch trains on
+``A M u - f + conv`` (FEONet_steady_Navier-Stokes/train_FEONet.py:324-331 —
+flagged in SURVEY.md). The physical system is A u + conv(u) = f; we implement
+that, with ``reference_sign_bug=True`` available for bit-parity experiments.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..linalg.newton import masked_convection
+
+Array = jax.Array
+
+
+def sum_of_squares(resid: Array) -> Array:
+    """Total sum of squares in float32-accumulated precision."""
+    return jnp.sum(jnp.square(resid))
+
+
+def linear_residual(pred: Array, op: Array, rhs: Array) -> Array:
+    """Steady linear loss: || op @ u - rhs ||^2 summed over batch and DoFs.
+
+    pred: (B, ng); op: (ng, ng); rhs: (B, ng).
+    (reference weak_form + closure: FEONet_Stokes_square/
+    train_FEONet.py:259-296 — one einsum + one reduction here.)
+    """
+    return sum_of_squares(pred @ op.T - rhs)
+
+
+def nonlinear_residual(
+    pred: Array,
+    op: Array,
+    rhs: Array,
+    B1: Array,
+    B2: Array,
+    n2: int,
+    conv_row_mask: Array | None = None,
+    reference_sign_bug: bool = False,
+) -> Array:
+    """Steady Navier-Stokes loss: || op u + conv(u) - f ||^2.
+
+    conv(u) is the diag-masked quadratic term (reference:
+    FEONet_steady_Navier-Stokes/train_FEONet.py:301-332). When training with
+    SPAI, pass op = A @ M; conv is evaluated on the RAW prediction (matching
+    the reference, which applies the preconditioner on the linear term only).
+    """
+    conv = masked_convection(pred, B1, B2, n2, conv_row_mask)
+    if reference_sign_bug:
+        resid = pred @ op.T + rhs - conv
+    else:
+        resid = pred @ op.T + conv - rhs
+    return sum_of_squares(resid)
+
+
+def rollout_residual(
+    pred_seq: Array,
+    S: Array,
+    sys_op: Array,
+    load: Array,
+    dt: float,
+    u_init: Array,
+) -> Array:
+    """Time-dependent Stokes rollout loss.
+
+    For t = 1..T with u_0 = u_init and u_{t-1} = the *prediction* at t-1
+    (self-conditioned rollout):
+
+        resid_t = sys_op @ u_t - (S @ u_{t-1} + dt * f)
+
+    where sys_op = (S + dt*A) (or (S + dt*A) @ M with SPAI). Loss = mean over
+    t of the per-step sum of squares (reference weak_form_sequence + closure:
+    FEONet_time_dep_Stokes/train_FEONet.py:343-400).
+
+    The sequential dependency is only a one-step shift, so the whole rollout
+    is two batched matmuls — no scan needed:
+    RHS = [u_init, u_1..u_{T-1}] @ S^T + dt*f.
+
+    pred_seq: (B, T, ng); u_init: (B, ng); load: (ng,) or (B, ng).
+    """
+    prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
+    lhs = pred_seq @ sys_op.T
+    rhs = prev @ S.T + dt * jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[
+        :, None, :
+    ]
+    per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
+    return jnp.mean(per_t)

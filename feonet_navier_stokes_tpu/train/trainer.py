@@ -1,0 +1,313 @@
+"""The trainer: dataset generation, fused jitted train step, eval, ckpt, log.
+
+One trainer for all four problems (replacing the four copy-pasted
+``train_FEONet.py`` epoch loops, reference :374-483). TPU-first structure:
+
+  * featurize -> forward -> residual loss -> grad -> optimizer update is ONE
+    jit program; the CNN input grid, A@M product, and scatter plans are
+    trace-time constants (the reference rebuilds them per step,
+    train_FEONet.py:264,280-283).
+  * full-batch by default (reference BATCH_SIZE = NUM_DATA = 1000); the batch
+    axis is sharded over the device mesh when >1 device is visible.
+  * eval cadence/checkpointing mirror the reference's per-100-epoch pattern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models import build_model
+from ..parallel import data_mesh, shard_batch, replicate
+from ..problems.base import Problem
+from .metrics import component_errors, trajectory_rel_l2
+from .optimizers import build_optimizer
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "UNetWithHead"
+    optimizer: str = "adam"
+    lr: float = 1e-3
+    epochs: int = 2000
+    batch_size: int | None = None  # None = full batch (reference default)
+    num_train: int = 1000
+    num_val: int = 1000
+    seed: int = 0
+    eval_every: int = 100
+    ckpt_dir: str | None = None
+    log_path: str | None = None
+    data_parallel: bool = True
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Dataset:
+    """A split: sampled problem instances + (optional) reference solutions."""
+
+    batch: dict[str, Array]
+    truth: Array | None = None
+
+    @property
+    def n(self) -> int:
+        return next(iter(self.batch.values())).shape[0]
+
+    def take(self, idx: np.ndarray) -> dict[str, Array]:
+        return {k: v[idx] for k, v in self.batch.items()}
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+class Trainer:
+    def __init__(self, problem: Problem, config: TrainConfig):
+        self.problem = problem
+        self.config = config
+        c = config
+        pc = problem.config
+
+        kwargs = dict(c.model_kwargs)
+        if pc.name == "timedep_stokes" and c.model in ("UNet2D", "UNetTemporal", "UNet1D", "RNN"):
+            kwargs.setdefault("seq_len", pc.seq_len)
+        self.model = build_model(c.model, d_out=problem.ng, **kwargs)
+
+        self.tx = build_optimizer(c.optimizer, c.lr)
+        self.is_lbfgs = c.optimizer.lower() == "lbfgs"
+
+        # --- init params from a 2-sample probe batch ---
+        key = jax.random.PRNGKey(c.seed)
+        probe = problem.sample_batch(key, 2)
+        x = problem.model_input(probe, c.model)
+        variables = self.model.init(key, x, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.has_bn = "batch_stats" in variables
+        self.state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.asarray(0),
+        )
+        self.n_params = int(
+            sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        )
+
+        # --- device mesh (data parallel over all visible chips) ---
+        self.mesh = None
+        if c.data_parallel and len(jax.devices()) > 1:
+            self.mesh = data_mesh()
+            self.state = replicate(self.state, self.mesh)
+
+        # lbfgs opt_state aliases the params buffers — donation would hand
+        # the same buffer to XLA twice, so only donate for the others.
+        donate = () if self.is_lbfgs else (0,)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
+        self._eval_forward = jax.jit(self._eval_forward_impl)
+
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    # datasets (reference seeds: train=5, validate=10)
+    # ------------------------------------------------------------------
+
+    def make_datasets(self, with_truth: bool = True) -> tuple[Dataset, Dataset]:
+        c = self.config
+        if with_truth:
+            # sample_converged resamples NS draws whose Newton fails,
+            # matching the reference data generator's retry loop.
+            train_b, train_t = self.problem.sample_converged(
+                jax.random.PRNGKey(5), c.num_train
+            )
+            val_b, val_t = self.problem.sample_converged(
+                jax.random.PRNGKey(10), c.num_val
+            )
+            return Dataset(train_b, train_t), Dataset(val_b, val_t)
+        train_b = self.problem.sample_batch(jax.random.PRNGKey(5), c.num_train)
+        val_b = self.problem.sample_batch(jax.random.PRNGKey(10), c.num_val)
+        return Dataset(train_b, None), Dataset(val_b, None)
+
+    # ------------------------------------------------------------------
+    # jitted step
+    # ------------------------------------------------------------------
+
+    def _apply(self, params, batch_stats, x, train: bool, rng=None):
+        variables = {"params": params}
+        if self.has_bn:
+            variables["batch_stats"] = batch_stats
+        kwargs = {}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if train and self.has_bn:
+            out, upd = self.model.apply(
+                variables, x, train=True, mutable=["batch_stats"], **kwargs
+            )
+            return out, upd["batch_stats"]
+        out = self.model.apply(variables, x, train=train, **kwargs)
+        return out, batch_stats
+
+    def _loss_value(self, params, batch_stats, batch, rng):
+        x = self.problem.model_input(batch, self.config.model)
+        out, new_bs = self._apply(params, batch_stats, x, train=True, rng=rng)
+        return self.problem.loss(out, batch), new_bs
+
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        def loss_fn(p):
+            return self._loss_value(p, state.batch_stats, batch, rng)
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if self.is_lbfgs:
+            updates, new_opt = self.tx.update(
+                grads,
+                state.opt_state,
+                state.params,
+                value=loss,
+                grad=grads,
+                value_fn=lambda p: loss_fn(p)[0],
+            )
+        else:
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    def _eval_forward_impl(self, state: TrainState, batch):
+        x = self.problem.model_input(batch, self.config.model)
+        out, _ = self._apply(state.params, state.batch_stats, x, train=False)
+        return self.problem.unmap(out)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def evaluate(self, ds: Dataset) -> dict[str, float]:
+        pred = self._eval_forward(self.state, ds.batch)
+        out: dict[str, float] = {}
+        if ds.truth is None:
+            return out
+        truth = ds.truth
+        if self.problem.config.name == "timedep_stokes":
+            # truth includes u0 at t=0; predictions start at t=1
+            ref = truth[:, 1 : pred.shape[1] + 1].astype(pred.dtype)
+            out["traj_rel_l2"] = float(trajectory_rel_l2(pred, ref))
+            errs = component_errors(
+                pred.reshape(-1, pred.shape[-1]),
+                ref.reshape(-1, ref.shape[-1]),
+                self.problem.n2,
+            )
+        else:
+            errs = component_errors(pred, truth.astype(pred.dtype), self.problem.n2)
+        out.update({k: float(v) for k, v in errs.items()})
+        return out
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        train_ds: Dataset,
+        val_ds: Dataset | None = None,
+        epochs: int | None = None,
+        verbose: bool = True,
+    ) -> list[dict]:
+        c = self.config
+        epochs = epochs if epochs is not None else c.epochs
+        batch = train_ds.batch
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        rng = jax.random.PRNGKey(c.seed + 1)
+        window_t0 = time.time()
+        log_f = open(c.log_path, "a") if c.log_path else None
+        try:
+            for epoch in range(1, epochs + 1):
+                rng, step_rng = jax.random.split(rng)
+                self.state, loss = self._train_step(self.state, batch, step_rng)
+                if epoch % c.eval_every == 0 or epoch == epochs:
+                    loss_v = float(loss)
+                    rec = {
+                        "epoch": epoch,
+                        "loss": loss_v,
+                        "time_per_epoch": (time.time() - window_t0) / c.eval_every,
+                    }
+                    if val_ds is not None:
+                        rec.update(self.evaluate(val_ds))
+                    self.history.append(rec)
+                    if log_f:
+                        log_f.write(json.dumps(rec) + "\n")
+                        log_f.flush()
+                    if verbose:
+                        print(
+                            f"epoch {epoch}: loss={loss_v:.4e} "
+                            + " ".join(
+                                f"{k}={v:.4e}" for k, v in rec.items()
+                                if k not in ("epoch", "loss")
+                            )
+                        )
+                    if c.ckpt_dir:
+                        self.save_checkpoint(c.ckpt_dir)
+                    window_t0 = time.time()
+        finally:
+            if log_f:
+                log_f.close()
+        return self.history
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, ckpt_dir: str) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(self.state.step)}"))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                path,
+                {
+                    "params": jax.device_get(self.state.params),
+                    "batch_stats": jax.device_get(self.state.batch_stats),
+                    "step": int(self.state.step),
+                },
+                force=True,
+            )
+        return path
+
+    def load_checkpoint(self, path: str, params_only: bool = True) -> None:
+        """Restore params (and batch_stats) — also the warm-start mechanism
+        (the reference warm-starts steady NS from the Stokes UNet checkpoint,
+        FEONet_steady_Navier-Stokes/train_FEONet.py:209-215)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path))
+        state = self.state
+        self.state = TrainState(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+            opt_state=state.opt_state if params_only else restored["opt_state"],
+            step=jnp.asarray(restored.get("step", 0)),
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)

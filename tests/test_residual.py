@@ -1,0 +1,119 @@
+"""Residual losses: zero at ground truth, match explicit formulations,
+gradients finite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feonet_navier_stokes_tpu.residual import (
+    linear_residual,
+    nonlinear_residual,
+    rollout_residual,
+)
+from feonet_navier_stokes_tpu.linalg import masked_convection
+
+
+def test_linear_residual_matches_reference_loop():
+    """Our fused reduction equals the reference's per-DoF MSE-sum loop
+    (FEONet_Stokes_square/train_FEONet.py:290-296)."""
+    rng = np.random.default_rng(0)
+    B, ng = 7, 23
+    op = rng.standard_normal((ng, ng))
+    pred = rng.standard_normal((B, ng))
+    rhs = rng.standard_normal((B, ng))
+    got = float(linear_residual(jnp.asarray(pred), jnp.asarray(op), jnp.asarray(rhs)))
+    # reference loop: loss = sum_ii sum_b (LHS[b,ii]-RHS[b,ii])^2
+    LHS = pred @ op.T
+    want = sum(np.sum((LHS[:, i] - rhs[:, i]) ** 2) for i in range(ng))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_linear_residual_zero_at_solution():
+    rng = np.random.default_rng(1)
+    ng = 16
+    op = rng.standard_normal((ng, ng)) + 4 * np.eye(ng)
+    u = rng.standard_normal((3, ng))
+    rhs = u @ op.T
+    assert float(linear_residual(jnp.asarray(u), jnp.asarray(op), jnp.asarray(rhs))) < 1e-20
+
+
+def test_nonlinear_residual_zero_at_newton_solution():
+    """Plugging the group-FEM Newton solution into the training loss gives ~0
+    — the property the reference validates in compare_ordering_nonlinear.ipynb
+    cells 24-25/33."""
+    import jax
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.linalg import newton_solve_ns
+
+    p = build_problem(ProblemConfig(name="steady_ns", bc="lower", nx=4, ns_truth="group"))
+    b = p.sample_batch(jax.random.PRNGKey(2), 1)
+    load = b["load"].astype(jnp.float64)[0]
+    u, rel, _ = newton_solve_ns(
+        p.A64, p.B1_64, p.B2_64, load, p.n2, conv_row_mask=jnp.asarray(p.bc.mask)
+    )
+    assert float(rel) < 1e-10
+    loss = nonlinear_residual(
+        u[None], p.A64, load[None], p.B1_64, p.B2_64, p.n2,
+        conv_row_mask=jnp.asarray(p.bc.mask),
+    )
+    assert float(loss) < 1e-18 * float(jnp.sum(load**2)) + 1e-16
+
+
+def test_rollout_residual_zero_at_exact_rollout():
+    """The implicit-Euler trajectory makes every rollout residual vanish."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    p = build_problem(
+        ProblemConfig(name="timedep_stokes", bc="lower", nx=4, forcing="five", seq_len=4)
+    )
+    b = p.sample_batch(jax.random.PRNGKey(3), 2)
+    traj = p.ground_truth(b, n_steps=4)  # (B, 5, ng) includes u0
+    loss = rollout_residual(
+        traj[:, 1:], p.S64, p.sys64, p.load_const64, p.config.dt,
+        b["u_init64"],
+    )
+    # scale-relative: compare against the loss of a perturbed trajectory
+    loss_bad = rollout_residual(
+        traj[:, 1:] * 1.01, p.S64, p.sys64, p.load_const64, p.config.dt,
+        b["u_init64"],
+    )
+    assert float(loss) < 1e-12 * float(loss_bad)
+
+
+def test_rollout_self_conditioning():
+    """RHS at step t must use the PREDICTION at t-1 (not the truth): a wrong
+    u_{t-1} changes residual at t."""
+    rng = np.random.default_rng(4)
+    B, T, ng = 2, 3, 8
+    S = np.eye(ng) + 0.1 * rng.standard_normal((ng, ng))
+    sys = np.eye(ng) + 0.1 * rng.standard_normal((ng, ng))
+    load = rng.standard_normal(ng)
+    u0 = rng.standard_normal((B, ng))
+    pred = rng.standard_normal((B, T, ng))
+    l0 = rollout_residual(jnp.asarray(pred), jnp.asarray(S), jnp.asarray(sys), jnp.asarray(load), 0.1, jnp.asarray(u0))
+    pred2 = pred.copy()
+    pred2[:, 0] += 1.0  # changes LHS at t=0 AND RHS at t=1
+    l1 = rollout_residual(jnp.asarray(pred2), jnp.asarray(S), jnp.asarray(sys), jnp.asarray(load), 0.1, jnp.asarray(u0))
+    # explicit loop reference
+    def explicit(ps):
+        prev = u0
+        per_t = []
+        for t in range(T):
+            resid = ps[:, t] @ sys.T - (prev @ S.T + 0.1 * load)
+            per_t.append(np.sum(resid**2))
+            prev = ps[:, t]
+        return np.mean(per_t)
+    np.testing.assert_allclose(float(l0), explicit(pred), rtol=1e-5)
+    np.testing.assert_allclose(float(l1), explicit(pred2), rtol=1e-5)
+
+
+def test_nonlinear_gradient_finite():
+    rng = np.random.default_rng(5)
+    ng, n2 = 10, 4
+    A = jnp.asarray(rng.standard_normal((ng, ng)))
+    B1 = jnp.asarray(rng.standard_normal((ng, ng)))
+    B2 = jnp.asarray(rng.standard_normal((ng, ng)))
+    pred = jnp.asarray(rng.standard_normal((2, ng)))
+    rhs = jnp.asarray(rng.standard_normal((2, ng)))
+    g = jax.grad(lambda u: nonlinear_residual(u, A, rhs, B1, B2, n2))(pred)
+    assert np.isfinite(np.asarray(g)).all()
