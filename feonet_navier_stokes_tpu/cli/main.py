@@ -1,0 +1,196 @@
+"""``feonet`` CLI: assemble | solve | train | eval | bench.
+
+One entry point for what the reference spreads over 12 per-problem scripts
+(assemble_fenics.py / create_data.py / train_FEONet.py x 4 dirs; flag
+conventions from FEONet_Stokes_square/train_FEONet.py:26-47 and
+FEONet_time_dep_Stokes/train_FEONet.py:28-99):
+
+  feonet assemble --problem stokes_square --bc channel_flow --nx 6 --out data/
+  feonet train    --problem stokes_square --bc channel_flow --model UNetWithHead \
+                  --epochs 80000 --precond 20000 --ckpt-dir ckpt/ --log out.jsonl
+  feonet eval     --problem ... --ckpt ckpt/step_N
+  feonet bench    [--config 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_problem_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--problem", default="stokes_square",
+                   choices=["stokes_square", "stokes_hole", "steady_ns", "timedep_stokes"])
+    p.add_argument("--bc", default="channel_flow",
+                   choices=["lower", "zero", "channel_flow"])
+    p.add_argument("--forcing", default=None,
+                   choices=["sincos", "grf", "five", "zero"],
+                   help="default: sincos (steady) / five (timedep)")
+    p.add_argument("--nx", type=int, default=6, help="cells per side (ne=2*nx^2)")
+    p.add_argument("--hole-h", type=float, default=0.125)
+    p.add_argument("--resol-in", type=int, default=20)
+    p.add_argument("--dt", type=float, default=0.01)
+    p.add_argument("--seq-len", type=int, default=10)
+    p.add_argument("--precond", type=int, default=0, help="SPAI iterations")
+    p.add_argument("--mu", type=float, default=None)
+
+
+def _build_problem(args):
+    from ..problems import ProblemConfig, build_problem
+
+    forcing = args.forcing
+    if forcing is None:
+        forcing = "five" if args.problem == "timedep_stokes" else "sincos"
+    cfg = ProblemConfig(
+        name=args.problem,
+        bc=args.bc,
+        forcing=forcing,
+        nx=args.nx,
+        hole_h=args.hole_h,
+        resol_in=args.resol_in,
+        dt=args.dt,
+        seq_len=args.seq_len,
+        precond_iters=args.precond,
+        mu=args.mu,
+    )
+    return build_problem(cfg)
+
+
+def cmd_assemble(args) -> int:
+    """Generate operators + train/validate datasets -> reference-layout npz
+    (replaces assemble_fenics.py + create_data.py)."""
+    import jax
+
+    from ..data import export_reference_npz, dataset_path
+
+    problem = _build_problem(args)
+    train_b, train_t = problem.sample_converged(jax.random.PRNGKey(5), args.num_train)
+    val_b, val_t = problem.sample_converged(jax.random.PRNGKey(10), args.num_val)
+    path = args.out_file or dataset_path(args.out, problem)
+    export_reference_npz(path, problem, train_b, train_t, val_b, val_t)
+    print(f"saved {path}: ne={problem.space.mesh.num_cells} ng={problem.ng} "
+          f"train={args.num_train} validate={args.num_val}")
+    return 0
+
+
+def cmd_solve(args) -> int:
+    """Solve ground truth for freshly sampled instances and print residuals."""
+    import jax
+    import jax.numpy as jnp
+
+    problem = _build_problem(args)
+    batch, truth = problem.sample_converged(jax.random.PRNGKey(args.seed), args.n)
+    print(f"solved {args.n} instances: truth shape {tuple(truth.shape)}")
+    if problem.config.name not in ("timedep_stokes",):
+        load = batch["load"].astype(jnp.float64)
+        if problem.config.name == "steady_ns":
+            keep = 1.0 - jnp.asarray(problem.bc.mask)
+            r = truth @ problem.A_truth64.T + keep * problem._conv_fn(truth) - load
+        else:
+            r = truth @ problem.A64.T - load
+        rel = jnp.linalg.norm(r, axis=-1) / jnp.linalg.norm(load, axis=-1)
+        print(f"max rel residual: {float(jnp.max(rel)):.3e}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from ..train import Trainer, TrainConfig
+
+    problem = _build_problem(args)
+    tc = TrainConfig(
+        model=args.model,
+        optimizer=args.optimizer,
+        lr=args.lr,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        num_train=args.num_train,
+        num_val=args.num_val,
+        seed=args.seed,
+        eval_every=args.eval_every,
+        ckpt_dir=args.ckpt_dir,
+        log_path=args.log,
+    )
+    trainer = Trainer(problem, tc)
+    print(f"model={args.model} params={trainer.n_params:,} ng={problem.ng} "
+          f"devices={len(__import__('jax').devices())}")
+    if args.init_from:
+        trainer.load_checkpoint(args.init_from)
+        print(f"warm-started from {args.init_from}")
+    train_ds, val_ds = trainer.make_datasets()
+    trainer.fit(train_ds, val_ds)
+    if args.ckpt_dir:
+        print("final checkpoint:", trainer.save_checkpoint(args.ckpt_dir))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from ..train import Trainer, TrainConfig
+
+    problem = _build_problem(args)
+    tc = TrainConfig(model=args.model, num_val=args.num_val)
+    trainer = Trainer(problem, tc)
+    trainer.load_checkpoint(args.ckpt)
+    _, val_ds = trainer.make_datasets()
+    metrics = trainer.evaluate(val_ds)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("feonet", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("assemble", help="generate operators + datasets (npz)")
+    _add_problem_flags(a)
+    a.add_argument("--num-train", type=int, default=1000)
+    a.add_argument("--num-val", type=int, default=1000)
+    a.add_argument("--out", default="data_ordered")
+    a.add_argument("--out-file", default=None)
+    a.set_defaults(fn=cmd_assemble)
+
+    s = sub.add_parser("solve", help="ground-truth solve sanity check")
+    _add_problem_flags(s)
+    s.add_argument("--n", type=int, default=8)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_solve)
+
+    t = sub.add_parser("train", help="train a coefficient predictor")
+    _add_problem_flags(t)
+    t.add_argument("--model", default="UNetWithHead")
+    t.add_argument("--optimizer", default="adam")
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--epochs", type=int, default=80000)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--num-train", type=int, default=1000)
+    t.add_argument("--num-val", type=int, default=1000)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--eval-every", type=int, default=100)
+    t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--log", default=None)
+    t.add_argument("--init-from", default=None,
+                   help="checkpoint path for warm start (reference NS<-Stokes)")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="evaluate a checkpoint")
+    _add_problem_flags(e)
+    e.add_argument("--model", default="UNetWithHead")
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--num-val", type=int, default=1000)
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
