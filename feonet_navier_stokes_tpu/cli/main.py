@@ -21,7 +21,7 @@ import sys
 
 def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--problem", default="stokes_square",
-                   choices=["stokes_square", "stokes_hole", "steady_ns", "timedep_stokes"])
+                   choices=["stokes_square", "stokes_hole", "steady_ns", "timedep_stokes", "timedep_ns"])
     p.add_argument("--bc", default="channel_flow",
                    choices=["lower", "zero", "channel_flow"])
     p.add_argument("--forcing", default=None,
@@ -41,7 +41,7 @@ def _build_problem(args):
 
     forcing = args.forcing
     if forcing is None:
-        forcing = "five" if args.problem == "timedep_stokes" else "sincos"
+        forcing = "five" if args.problem.startswith("timedep") else "sincos"
     cfg = ProblemConfig(
         name=args.problem,
         bc=args.bc,
@@ -82,7 +82,7 @@ def cmd_solve(args) -> int:
     problem = _build_problem(args)
     batch, truth = problem.sample_converged(jax.random.PRNGKey(args.seed), args.n)
     print(f"solved {args.n} instances: truth shape {tuple(truth.shape)}")
-    if problem.config.name not in ("timedep_stokes",):
+    if not problem.config.name.startswith("timedep"):
         load = batch["load"].astype(jnp.float64)
         if problem.config.name == "steady_ns":
             keep = 1.0 - jnp.asarray(problem.bc.mask)

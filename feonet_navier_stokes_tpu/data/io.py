@@ -30,7 +30,7 @@ def dataset_path(
     parts = [base, c.bc, "BC"]
     if c.forcing not in ("sincos",):
         parts.append(c.forcing)
-    if c.name == "timedep_stokes":
+    if c.name.startswith("timedep"):
         parts.append(f"dt_{str(c.dt).replace('.', '_')}")
     name = "_".join(parts) + kind_suffix + ".npz"
     return os.path.join(root, name)
@@ -90,7 +90,7 @@ def export_reference_npz(
         payload["A"] = np.asarray(problem.A64)
         payload["B1"] = np.asarray(problem.B1_64)
         payload["B2"] = np.asarray(problem.B2_64)
-    if problem.config.name == "timedep_stokes":
+    if problem.config.name.startswith("timedep"):
         payload["S"] = np.asarray(problem.S64)
         payload["A"] = np.asarray(problem.A64)
         payload["load_vector"] = np.asarray(problem.load_const64)

@@ -71,3 +71,41 @@ def implicit_euler_rollout(
 
     _, traj = jax.lax.scan(step, u0, None, length=n_steps)
     return jnp.concatenate([u0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "conv_fn"))
+def semi_implicit_ns_rollout(
+    S: Array,
+    A: Array,
+    u0: Array,
+    load: Array,
+    dt: float,
+    n_steps: int,
+    conv_fn,
+    conv_row_mask: Array,
+) -> Array:
+    """Semi-implicit (IMEX) Navier-Stokes trajectories.
+
+    Viscous/pressure terms implicit, convection explicit (lagged):
+
+        (S + dt*A) u_t = S u_{t-1} + dt * (f - c(u_{t-1}))
+
+    with c the convection operator (true weak trilinear form or group-FEM),
+    masked to zero on constrained rows. The standard first-order IMEX
+    splitting — one LU factorization amortized over the whole rollout, all
+    trajectories batched. New capability beyond the reference (which has
+    time-dependent *Stokes* only, FEONet_time_dep_Stokes/); designed for the
+    ~50k-DoF batched-ensemble stretch config (SURVEY.md §7 step 7).
+    """
+    sys = S + dt * A
+    lu, piv = lu_factor(sys)
+    load_b = jnp.broadcast_to(load, u0.shape)
+    keep = 1.0 - conv_row_mask
+
+    def step(u, _):
+        rhs = u @ S.T + dt * (load_b - keep * conv_fn(u))
+        u_next = lu_solve((lu, piv), rhs.T).T
+        return u_next, u_next
+
+    _, traj = jax.lax.scan(step, u0, None, length=n_steps)
+    return jnp.concatenate([u0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)

@@ -72,7 +72,17 @@ from ..sampling import (
 
 Array = jax.Array
 
-PROBLEM_NAMES = ("stokes_square", "stokes_hole", "steady_ns", "timedep_stokes")
+PROBLEM_NAMES = (
+    "stokes_square",
+    "stokes_hole",
+    "steady_ns",
+    "timedep_stokes",
+    # stretch capability, no reference counterpart: semi-implicit (IMEX)
+    # unsteady Navier-Stokes with the rollout residual (SURVEY.md §7 step 7)
+    "timedep_ns",
+)
+
+_TIMEDEP = ("timedep_stokes", "timedep_ns")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,7 +111,7 @@ class ProblemConfig:
     def resolved_mu(self) -> float:
         if self.mu is not None:
             return self.mu
-        return 1.0 if self.name == "timedep_stokes" else 0.1
+        return 1.0 if self.name in _TIMEDEP else 0.1
 
 
 class Problem:
@@ -140,7 +150,7 @@ class Problem:
                 space, mu, viscous_form="sym", div_sign_vp=-1.0, div_sign_pu=+1.0,
                 dtype=jnp.float64,
             )
-        elif c.name == "timedep_stokes":
+        elif c.name in _TIMEDEP:
             A_raw = assemble_stokes(
                 space, mu, div_sign_vp=-1.0, div_sign_pu=+1.0, dtype=jnp.float64
             )
@@ -152,7 +162,7 @@ class Problem:
 
         self.B1 = self.B2 = None
         self.conv_row_mask = None
-        if c.name == "steady_ns":
+        if c.name in ("steady_ns", "timedep_ns"):
             B1, B2 = assemble_convection(space, dtype=jnp.float64)
             if c.ns_bc_rows == "script":
                 B1 = apply_bc_matrix(B1, jnp.asarray(bc.mask))
@@ -172,7 +182,7 @@ class Problem:
                 self.A_truth64 = A64
 
         self.S = None
-        if c.name == "timedep_stokes":
+        if c.name in _TIMEDEP:
             S64 = apply_bc_matrix(
                 assemble_velocity_mass(space, dtype=jnp.float64), jnp.asarray(bc.mask)
             )
@@ -189,7 +199,7 @@ class Problem:
             self.sys = self.sys64.astype(dtype)
 
         # --- SPAI preconditioner & the training operator ---
-        base64 = self.sys64 if c.name == "timedep_stokes" else A64
+        base64 = self.sys64 if c.name in _TIMEDEP else A64
         if c.precond_iters > 0:
             self.precond64 = spai(base64, c.precond_iters)
             self.precond = self.precond64.astype(dtype)
@@ -206,9 +216,22 @@ class Problem:
             self.grf_chol = None
             self.interp = None
 
-        if c.name == "timedep_stokes":
+        if c.name in _TIMEDEP:
             # P2 scalar mass for IC projection (FEniCS `project`)
             self.M2_64 = assemble_scalar_block(space, "mass", dtype=jnp.float64)
+
+    def set_precond(self, M) -> None:
+        """Install a precomputed SPAI preconditioner (e.g. computed in f64 on
+        the CPU backend, or loaded from a cache file like the reference's
+        precond_{ne}_{bc}.npy, train_FEONet.py:126-136) and rebuild the
+        training operator op = base @ M."""
+        c = self.config
+        dtype = c.dtype
+        M64 = jnp.asarray(np.asarray(M), dtype=jnp.float64)
+        base64 = self.sys64 if c.name in _TIMEDEP else self.A64
+        self.precond64 = M64
+        self.precond = M64.astype(dtype)
+        self.op_train = (base64 @ M64).astype(dtype)
 
     # ------------------------------------------------------------------
     # dimensions / component slices
@@ -239,7 +262,7 @@ class Problem:
         """
         c = self.config
         dtype = c.dtype
-        if c.name == "timedep_stokes":
+        if c.name in _TIMEDEP:
             return self._sample_timedep(key, n)
         if c.forcing == "sincos":
             coeffs = sample_sincos_coeffs(key, n, dtype=jnp.float64)
@@ -320,7 +343,7 @@ class Problem:
                 coords[None], (batch["u_init"].shape[0],) + coords.shape
             )
             return jnp.concatenate([batch["u_init"][..., None], coords_b], axis=-1)
-        if c.name == "timedep_stokes":
+        if c.name in _TIMEDEP:
             resol = 64
             if c.bc == "lower":
                 return lower_ic_on_grid(batch["ic_coeffs"], resol)
@@ -351,6 +374,14 @@ class Problem:
             return rollout_residual(
                 pred, self.S, self.op_train, self.load_const, c.dt, batch["u_init"]
             )
+        if c.name == "timedep_ns":
+            from ..residual import rollout_ns_residual
+
+            return rollout_ns_residual(
+                pred, self.S, self.op_train, self.load_const, c.dt,
+                batch["u_init"], self.B1, self.B2, self.n2,
+                conv_row_mask=self.conv_row_mask,
+            )
         return linear_residual(pred, self.op_train, batch["load"])
 
     def unmap(self, pred: Array) -> Array:
@@ -370,12 +401,20 @@ class Problem:
         timedep -> (B, n_steps+1, ng) implicit-Euler trajectories.
         """
         c = self.config
-        if c.name == "timedep_stokes":
+        if c.name in _TIMEDEP:
             T = int(round(1.0 / c.dt)) if n_steps is None else n_steps
+            u0 = batch.get("u_init64", batch["u_init"]).astype(jnp.float64)
+            if c.name == "timedep_ns":
+                from ..linalg.solvers import semi_implicit_ns_rollout
+
+                return semi_implicit_ns_rollout(
+                    self.S64, self.A64, u0, self.load_const64, c.dt, T,
+                    self._conv_fn, jnp.asarray(self.bc.mask),
+                )
             return implicit_euler_rollout(
                 self.S64,
                 self.A64,
-                batch.get("u_init64", batch["u_init"]).astype(jnp.float64),
+                u0,
                 self.load_const64,
                 c.dt,
                 T,
@@ -420,7 +459,7 @@ class Problem:
         c = self.config
         if c.name != "steady_ns":
             batch = self.sample_batch(key, n)
-            kw = {"n_steps": c.seq_len} if c.name == "timedep_stokes" else {}
+            kw = {"n_steps": c.seq_len} if c.name in _TIMEDEP else {}
             return batch, self.ground_truth(batch, **kw)
 
         kept_batches: list[dict[str, Array]] = []
@@ -462,6 +501,6 @@ def build_problem(config: ProblemConfig) -> Problem:
     else:
         mesh = structured_rectangle(c.nx, c.nx)
         space = build_taylor_hood(mesh)
-        variant = "timedep" if c.name == "timedep_stokes" else "steady"
+        variant = "timedep" if c.name in _TIMEDEP else "steady"
         bc = make_bc(space, square_bcs(c.bc, variant=variant))
     return Problem(config, space, bc)

@@ -9,6 +9,7 @@ from .losses import (
     linear_residual,
     nonlinear_residual,
     rollout_residual,
+    rollout_ns_residual,
     sum_of_squares,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "linear_residual",
     "nonlinear_residual",
     "rollout_residual",
+    "rollout_ns_residual",
     "sum_of_squares",
 ]

@@ -101,3 +101,34 @@ def rollout_residual(
     ]
     per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
     return jnp.mean(per_t)
+
+
+def rollout_ns_residual(
+    pred_seq: Array,
+    S: Array,
+    sys_op: Array,
+    load: Array,
+    dt: float,
+    u_init: Array,
+    B1: Array,
+    B2: Array,
+    n2: int,
+    conv_row_mask: Array | None = None,
+) -> Array:
+    """Semi-implicit Navier-Stokes rollout loss (stretch capability — no
+    reference counterpart; scheme matches linalg.solvers.
+    semi_implicit_ns_rollout):
+
+        resid_t = sys_op u_t - (S u_{t-1} + dt * (f - conv(u_{t-1})))
+
+    with the group-FEM convection on the lagged *prediction* — fully
+    parallel over t (one-step shift, two matmuls + the masked quadratic).
+    """
+    prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
+    conv = masked_convection(prev, B1, B2, n2, conv_row_mask)
+    lhs = pred_seq @ sys_op.T
+    rhs = prev @ S.T + dt * (
+        jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[:, None, :] - conv
+    )
+    per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
+    return jnp.mean(per_t)

@@ -49,6 +49,12 @@ class TrainConfig:
     log_path: str | None = None
     data_parallel: bool = True
     model_kwargs: dict = dataclasses.field(default_factory=dict)
+    # NaN/Inf guard: skip the update when the loss is non-finite (the
+    # reference's batch-skip guards, FEONet_steady_Navier-Stokes/
+    # train_FEONet.py:434-469); abort after `nan_limit` consecutive skips.
+    nan_guard: bool = True
+    nan_limit: int = 50
+    profile_dir: str | None = None  # jax.profiler trace of a 10-step window
 
 
 @dataclasses.dataclass
@@ -81,7 +87,7 @@ class Trainer:
         pc = problem.config
 
         kwargs = dict(c.model_kwargs)
-        if pc.name == "timedep_stokes" and c.model in ("UNet2D", "UNetTemporal", "UNet1D", "RNN"):
+        if pc.name.startswith("timedep") and c.model in ("UNet2D", "UNetTemporal", "UNet1D", "RNN"):
             kwargs.setdefault("seq_len", pc.seq_len)
         self.model = build_model(c.model, d_out=problem.ng, **kwargs)
 
@@ -183,15 +189,18 @@ class Trainer:
         import optax
 
         new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                params=new_params,
-                batch_stats=new_bs,
-                opt_state=new_opt,
-                step=state.step + 1,
-            ),
-            loss,
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
         )
+        if self.config.nan_guard:
+            ok = jnp.isfinite(loss)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_state, state
+            )
+        return new_state, loss
 
     def _eval_forward_impl(self, state: TrainState, batch):
         x = self.problem.model_input(batch, self.config.model)
@@ -208,7 +217,7 @@ class Trainer:
         if ds.truth is None:
             return out
         truth = ds.truth
-        if self.problem.config.name == "timedep_stokes":
+        if self.problem.config.name.startswith("timedep"):
             # truth includes u0 at t=0; predictions start at t=1
             ref = truth[:, 1 : pred.shape[1] + 1].astype(pred.dtype)
             out["traj_rel_l2"] = float(trajectory_rel_l2(pred, ref))
@@ -241,10 +250,29 @@ class Trainer:
         rng = jax.random.PRNGKey(c.seed + 1)
         window_t0 = time.time()
         log_f = open(c.log_path, "a") if c.log_path else None
+        nan_streak = 0
+        tracing = False
         try:
             for epoch in range(1, epochs + 1):
+                if c.profile_dir and not tracing and epoch == 2:
+                    jax.profiler.start_trace(c.profile_dir)
+                    tracing = True
                 rng, step_rng = jax.random.split(rng)
                 self.state, loss = self._train_step(self.state, batch, step_rng)
+                if tracing and epoch >= 12:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                if c.nan_guard and epoch % c.eval_every == 0:
+                    if not np.isfinite(float(loss)):
+                        nan_streak += 1
+                        if nan_streak >= c.nan_limit:
+                            raise FloatingPointError(
+                                f"loss non-finite for {nan_streak} consecutive "
+                                f"eval windows at epoch {epoch}"
+                            )
+                    else:
+                        nan_streak = 0
                 if epoch % c.eval_every == 0 or epoch == epochs:
                     loss_v = float(loss)
                     rec = {
@@ -270,9 +298,25 @@ class Trainer:
                         self.save_checkpoint(c.ckpt_dir)
                     window_t0 = time.time()
         finally:
+            if tracing:
+                jax.profiler.stop_trace()
             if log_f:
                 log_f.close()
         return self.history
+
+    @staticmethod
+    def latest_checkpoint(ckpt_dir: str) -> str | None:
+        """Most recent step_* checkpoint for resume."""
+        if not os.path.isdir(ckpt_dir):
+            return None
+        steps = [
+            (int(d.split("_")[1]), d)
+            for d in os.listdir(ckpt_dir)
+            if d.startswith("step_") and d.split("_")[1].isdigit()
+        ]
+        if not steps:
+            return None
+        return os.path.join(ckpt_dir, max(steps)[1])
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)

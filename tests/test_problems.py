@@ -124,6 +124,30 @@ def test_timedep_zero_bc_pins_pressure():
     assert np.isfinite(np.asarray(traj)).all()
 
 
+def test_timedep_ns_imex_rollout_and_loss():
+    """Stretch problem (no reference counterpart): semi-implicit NS rollout
+    satisfies the IMEX step equation exactly; the group-FEM rollout loss at
+    the weak-convection truth sits at the quadrature-gap floor."""
+    import jax.numpy as jnp
+
+    p = build_problem(
+        ProblemConfig(name="timedep_ns", bc="lower", nx=4, forcing="five", seq_len=4)
+    )
+    b = p.sample_batch(jax.random.PRNGKey(0), 2)
+    traj = p.ground_truth(b, n_steps=4)
+    assert np.isfinite(np.asarray(traj)).all()
+    keep = 1.0 - jnp.asarray(p.bc.mask)
+    rhs = traj[:, 0] @ p.S64.T + p.config.dt * (
+        p.load_const64 - keep * p._conv_fn(traj[:, 0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj[:, 1] @ p.sys64.T), np.asarray(rhs), atol=1e-9
+    )
+    loss_truth = float(p.loss(traj[:, 1:].astype(jnp.float64), b))
+    loss_pert = float(p.loss(traj[:, 1:].astype(jnp.float64) * 1.05, b))
+    assert loss_truth < 1e-3 * loss_pert
+
+
 def test_spai_precond_improves_training_operator():
     p = build_problem(
         ProblemConfig(name="stokes_square", bc="channel_flow", nx=6, precond_iters=5000)

@@ -1,0 +1,148 @@
+"""Accuracy-parity run: reproduce the reference's headline result on TPU.
+
+Target (BASELINE.md row 1): steady Stokes square, ne=72, channel_flow BC,
+UNetWithHead + SPAI(20000), 1000 train / 1000 validate samples, 80k epochs ->
+rel-L2 u1/u2/p/coeff = 0.0090 / 0.0132 / 0.0013 / 0.0050.
+
+Two phases because f64 linear algebra belongs on the CPU backend while
+training belongs on the TPU (f64 LU does not compile on TPU):
+
+  phase A (CPU, x64):  JAX_PLATFORM_NAME=cpu python tools/parity_run.py prepare
+      assembles operators in f64, runs SPAI(20000), solves the 2000 reference
+      solutions, saves everything to artifacts npz.
+  phase B (TPU, f32):  python tools/parity_run.py train --epochs 80000
+      loads the artifacts, trains UNetWithHead on the preconditioned residual,
+      reports the rel-L2 table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ART_DEFAULT = "artifacts/parity_ne72_channel.npz"
+
+
+def _problem(precond_iters: int = 0):
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    return build_problem(
+        ProblemConfig(
+            name="stokes_square", bc="channel_flow", nx=6,
+            precond_iters=precond_iters,
+        )
+    )
+
+
+def cmd_prepare(args) -> int:
+    import jax
+
+    # JAX_PLATFORMS env is ignored under the axon TPU terminal (the plugin
+    # re-registers); jax.config is authoritative (see .claude/skills/verify).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    assert jax.default_backend() == "cpu"
+    t0 = time.time()
+    p = _problem(precond_iters=args.spai_iters)
+    from feonet_navier_stokes_tpu.linalg import condition_number
+
+    cond = condition_number(p.A64 @ p.precond64)
+    print(f"SPAI({args.spai_iters}) cond: {cond:.4f} "
+          f"(reference 1.489) [{time.time()-t0:.0f}s]")
+    train_b, train_t = p.sample_converged(jax.random.PRNGKey(5), args.num)
+    val_b, val_t = p.sample_converged(jax.random.PRNGKey(10), args.num)
+    os.makedirs(os.path.dirname(args.art), exist_ok=True)
+    np.savez(
+        args.art,
+        precond=np.asarray(p.precond64),
+        cond_after=cond,
+        train_coeff_f=np.asarray(train_b["coeff_f"]),
+        train_load=np.asarray(train_b["load"]),
+        train_truth=np.asarray(train_t),
+        val_coeff_f=np.asarray(val_b["coeff_f"]),
+        val_load=np.asarray(val_b["load"]),
+        val_truth=np.asarray(val_t),
+    )
+    print(f"artifacts -> {args.art} [{time.time()-t0:.0f}s total]")
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig, Dataset
+
+    z = np.load(args.art)
+    p = _problem(precond_iters=0)
+    p.set_precond(z["precond"])
+    tc = TrainConfig(
+        model="UNetWithHead",
+        lr=args.lr,
+        epochs=args.epochs,
+        num_train=z["train_coeff_f"].shape[0],
+        num_val=z["val_coeff_f"].shape[0],
+        eval_every=args.eval_every,
+        ckpt_dir=args.ckpt_dir,
+        log_path=args.log,
+    )
+    trainer = Trainer(p, tc)
+    print(f"devices={jax.devices()} params={trainer.n_params:,} "
+          f"cond(op)={float(z['cond_after']):.3f}")
+    f32 = jnp.float32
+    train_ds = Dataset(
+        {"coeff_f": jnp.asarray(z["train_coeff_f"], f32),
+         "load": jnp.asarray(z["train_load"], f32)},
+        jnp.asarray(z["train_truth"], f32),
+    )
+    val_ds = Dataset(
+        {"coeff_f": jnp.asarray(z["val_coeff_f"], f32),
+         "load": jnp.asarray(z["val_load"], f32)},
+        jnp.asarray(z["val_truth"], f32),
+    )
+    t0 = time.time()
+    trainer.fit(train_ds, val_ds, verbose=True)
+    wall = time.time() - t0
+    final = trainer.history[-1]
+    result = {
+        "problem": "stokes_square ne=72 channel_flow UNetWithHead+SPAI",
+        "epochs": args.epochs,
+        "wall_s": round(wall, 1),
+        "rel_l2": {k: final[k] for k in ("u1", "u2", "p", "coeff")},
+        "reference": {"u1": 0.0090, "u2": 0.0132, "p": 0.0013, "coeff": 0.0050},
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    a = sub.add_parser("prepare")
+    a.add_argument("--art", default=ART_DEFAULT)
+    a.add_argument("--num", type=int, default=1000)
+    a.add_argument("--spai-iters", type=int, default=20000)
+    a.set_defaults(fn=cmd_prepare)
+    t = sub.add_parser("train")
+    t.add_argument("--art", default=ART_DEFAULT)
+    t.add_argument("--epochs", type=int, default=80000)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--eval-every", type=int, default=1000)
+    t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--log", default=None)
+    t.add_argument("--out", default=None)
+    t.set_defaults(fn=cmd_train)
+    args = ap.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
