@@ -12,16 +12,16 @@ reference's ne=512 scale:
     FEONet-square-with-hole/test.ipynb cells 14-16),
   * full batch 1000 samples (reference BATCH_SIZE=NUM_DATA=1000,
     FEONet_Stokes_square/train_FEONet.py:99-102),
-  * Net2D(filters=32, k=5) on a 50x50 forcing grid (the reference's ne=512
-    model config: resol_in 50, FEONet-square-with-hole usage).
+  * Net2D(filters=32, k=5) on a 20x20 forcing grid (the reference's default
+    resol_in=20, train_FEONet.py:40).
 
 Baseline — the reference's own train-step code pattern (per-sample mm
 list-comprehension + per-DoF Python MSE loop + Adam,
 FEONet_Stokes_square/train_FEONet.py:261-301) run in torch on the CPU of
-this image at the identical (ng=2563, B=1000, R=50) configuration. The
+this image at the identical (ng=2563, B=1000, R=20) configuration. The
 reference repo commits no GPU training logs (log/ is gitignored,
 .gitignore:96-99), so the in-image CPU measurement is the only reproducible
-baseline; re-measure with --measure-baseline.
+baseline; re-measure with tools/measure_baseline.py.
 """
 
 from __future__ import annotations
@@ -30,10 +30,10 @@ import json
 import sys
 import time
 
-# Measured in-image (torch 2.x CPU, ng=2563, B=1000, R=50) with
-# tools/measure_baseline.py on 2026-08-16: 271.6 s/step warm (autograd
-# through the per-DoF loss loop dominates at ~220 s).
-BASELINE_STEPS_PER_SEC = 1.0 / 271.6
+# Measured in-image (torch 2.x CPU, ng=2563, B=1000, R=20) with
+# tools/measure_baseline.py on 2026-08-16: 18.4 s/step warm (at the
+# reference's hole-problem R=50 the same pattern takes 271.6 s/step).
+BASELINE_STEPS_PER_SEC = 1.0 / 18.4
 
 
 def measure_tpu_steps_per_sec(

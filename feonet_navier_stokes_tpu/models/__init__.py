@@ -6,12 +6,14 @@ featurization to (B, ng) mixed-FE coefficients; temporal models map an
 initial condition to (B, T, ng) coefficient trajectories.
 """
 
-from .steady import Net2D, FCNN, UNetFeatureExtractor, UNetWithHead
+from .steady import Net2D, NetA, Net3D, FCNN, UNetFeatureExtractor, UNetWithHead
 from .temporal import UNet2DTemporalRepeat, UNetTemporal, UNet1D, CoeffRNN
 from .registry import build_model, MODEL_REGISTRY
 
 __all__ = [
     "Net2D",
+    "NetA",
+    "Net3D",
     "FCNN",
     "UNetFeatureExtractor",
     "UNetWithHead",

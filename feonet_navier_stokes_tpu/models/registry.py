@@ -6,12 +6,14 @@ from __future__ import annotations
 
 from typing import Any
 
-from .steady import Net2D, FCNN, UNetWithHead
+from .steady import Net2D, NetA, Net3D, FCNN, UNetWithHead
 from .temporal import UNet2DTemporalRepeat, UNetTemporal, UNet1D, CoeffRNN
 
 MODEL_REGISTRY: dict[str, Any] = {
     # steady (input: (B, R, R, 2) forcing grid; FCNN takes (B, 6) coeffs)
     "Net2D": Net2D,
+    "NetA": NetA,
+    "Net3D": Net3D,
     "FCNN": FCNN,
     "UNetWithHead": UNetWithHead,
     # temporal (input: IC grid (B, R, R, 2); UNet1D (B, N, 3); RNN (B, ng))

@@ -47,6 +47,50 @@ class Net2D(nn.Module):
         return nn.Dense(self.d_out, dtype=jnp.float32)(x)
 
 
+class NetA(nn.Module):
+    """1D conv sibling of Net2D (reference NetA, network.py:20-50) — operates
+    on (B, N, C) sequences (e.g. forcing sampled along a 1D coordinate)."""
+
+    d_out: int
+    filters: int = 32
+    kernel_size: int = 7
+    blocks: int = 0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k = (self.kernel_size,)
+        x = x.astype(self.compute_dtype)
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        for _ in range(self.blocks):
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+
+
+class Net3D(nn.Module):
+    """3D conv sibling of Net2D (reference Net3D, network.py:88-118) —
+    operates on (B, D, H, W, C) volumes."""
+
+    d_out: int
+    filters: int = 32
+    kernel_size: int = 5
+    blocks: int = 0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k = (self.kernel_size,) * 3
+        x = x.astype(self.compute_dtype)
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        for _ in range(self.blocks):
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+
+
 class FCNN(nn.Module):
     """MLP on the 6 forcing parameters (reference FCNN, network.py:120-138).
 

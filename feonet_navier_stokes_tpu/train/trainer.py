@@ -244,9 +244,19 @@ class Trainer:
     ) -> list[dict]:
         c = self.config
         epochs = epochs if epochs is not None else c.epochs
-        batch = train_ds.batch
-        if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh)
+        n = train_ds.n
+        bs = c.batch_size if c.batch_size and c.batch_size < n else None
+        if bs is None:
+            # full batch (reference default): shard once, reuse every epoch
+            batch = train_ds.batch
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            minibatches = None
+        else:
+            # static minibatch partition (shapes constant -> one jit program);
+            # order reshuffled every epoch on the host
+            n_batches = n // bs
+            minibatches, perm_rng = None, np.random.default_rng(c.seed)
         rng = jax.random.PRNGKey(c.seed + 1)
         window_t0 = time.time()
         log_f = open(c.log_path, "a") if c.log_path else None
@@ -258,7 +268,18 @@ class Trainer:
                     jax.profiler.start_trace(c.profile_dir)
                     tracing = True
                 rng, step_rng = jax.random.split(rng)
-                self.state, loss = self._train_step(self.state, batch, step_rng)
+                if bs is None:
+                    self.state, loss = self._train_step(self.state, batch, step_rng)
+                else:
+                    idx = perm_rng.permutation(n)[: n_batches * bs].reshape(
+                        n_batches, bs
+                    )
+                    for bi in range(n_batches):
+                        mb = train_ds.take(idx[bi])
+                        if self.mesh is not None:
+                            mb = shard_batch(mb, self.mesh)
+                        rng, step_rng = jax.random.split(rng)
+                        self.state, loss = self._train_step(self.state, mb, step_rng)
                 if tracing and epoch >= 12:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
