@@ -38,9 +38,14 @@ def pad_to_multiple(x: Array, m: int, axis: int = 0) -> Array:
 
 
 def shard_batch(batch: dict[str, Array], mesh: Mesh, axis: str = "data") -> dict[str, Array]:
-    """Place each (B, ...) array with its leading axis sharded over the mesh."""
+    """Place each (B, ...) array with its leading axis sharded over the mesh.
+
+    Batches whose leading axis is not divisible by the mesh size are padded by
+    repeating the last sample (padding only adds redundant residual terms to
+    the loss mean; metrics are computed on the unpadded eval path)."""
     sh = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    m = mesh.devices.size
+    return {k: jax.device_put(pad_to_multiple(v, m), sh) for k, v in batch.items()}
 
 
 def replicate(tree, mesh: Mesh):
