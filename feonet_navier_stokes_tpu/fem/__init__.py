@@ -5,7 +5,6 @@ from .assemble import (
     element_geometry,
     scatter_add_dense,
     assemble_scalar_block,
-    StokesOperators,
     assemble_stokes,
     assemble_velocity_mass,
     assemble_convection,
@@ -27,7 +26,6 @@ __all__ = [
     "element_geometry",
     "scatter_add_dense",
     "assemble_scalar_block",
-    "StokesOperators",
     "assemble_stokes",
     "assemble_velocity_mass",
     "assemble_convection",

@@ -1,5 +1,5 @@
-"""Jitted Taylor-Hood operator assembly: vmapped element kernels + segment-sum
-scatter into dense blocks.
+"""Taylor-Hood operator assembly: vectorized element kernels + segment-sum
+scatter into dense blocks — host-side numpy, float64 internals UNCONDITIONALLY.
 
 This is the TPU-native replacement for the reference's FEniCS/DOLFIN C++
 assembly path:
@@ -12,9 +12,17 @@ assembly path:
   * Dirichlet row lifting identical to dolfin ``bc.apply(A[, L])`` (zero the
     constrained rows, unit diagonal, set RHS entries to the BC value).
 
+Placement rationale (TPU-first): operators and datasets are *setup-time
+constants* — they are assembled once per problem/dataset on the host in full
+float64 (matching the f64 FEniCS/NumPy reference pipeline bit-for-bit in
+precision), then shipped to the device once at the training dtype. Only the
+train/eval step runs on the TPU. This removes the former silent f64->f32
+truncation on TPU backends (jax_enable_x64 is never required): ground truth,
+SPAI, and condition numbers are exact regardless of the active JAX backend.
+
 All element integrals are computed for every cell at once (einsum over a
-static quadrature tabulation) and scattered with a *pre-sorted* segment-sum,
-so the whole assembly is one fused XLA program with no host round trips.
+static quadrature tabulation) and scattered with one bincount segment-sum —
+no Python per-element loops anywhere.
 """
 
 from __future__ import annotations
@@ -22,8 +30,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.taylor_hood import TaylorHoodSpace
@@ -42,13 +48,13 @@ Array = Any
 class ElementGeometry:
     """Affine-map data per cell: x = v0 + J @ (xi, eta)."""
 
-    inv_jt: Array  # (nc, 2, 2) J^{-T}
-    det_j: Array  # (nc,) |det J| (> 0 for CCW cells)
-    v0: Array  # (nc, 2)
-    jac: Array  # (nc, 2, 2)
+    inv_jt: np.ndarray  # (nc, 2, 2) J^{-T}
+    det_j: np.ndarray  # (nc,) |det J| (> 0 for CCW cells)
+    v0: np.ndarray  # (nc, 2)
+    jac: np.ndarray  # (nc, 2, 2)
 
 
-def element_geometry(space: TaylorHoodSpace, dtype=jnp.float32) -> ElementGeometry:
+def element_geometry(space: TaylorHoodSpace, dtype=np.float64) -> ElementGeometry:
     v = space.mesh.cell_vertices().astype(np.float64)  # (nc, 3, 2)
     jac = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)  # (nc,2,2) cols
     det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
@@ -63,31 +69,37 @@ def element_geometry(space: TaylorHoodSpace, dtype=jnp.float32) -> ElementGeomet
         / det[:, None, None]
     )
     return ElementGeometry(
-        inv_jt=jnp.asarray(np.swapaxes(inv_j, 1, 2), dtype=dtype),
-        det_j=jnp.asarray(det, dtype=dtype),
-        v0=jnp.asarray(v[:, 0], dtype=dtype),
-        jac=jnp.asarray(jac, dtype=dtype),
+        inv_jt=np.swapaxes(inv_j, 1, 2).astype(dtype),
+        det_j=det.astype(dtype),
+        v0=v[:, 0].astype(dtype),
+        jac=jac.astype(dtype),
     )
 
 
-def physical_quad_points(space: TaylorHoodSpace, degree: int, dtype=jnp.float32) -> Array:
+def physical_quad_points(
+    space: TaylorHoodSpace, degree: int, dtype=np.float64
+) -> np.ndarray:
     """(nc, nq, 2) quadrature points mapped to physical coordinates."""
     pts, _ = triangle_quadrature(degree)
-    geom = element_geometry(space, dtype=jnp.float64)
-    xq = geom.v0[:, None, :] + jnp.einsum(
-        "cij,qj->cqi", geom.jac, jnp.asarray(pts, dtype=jnp.float64)
+    geom = element_geometry(space, dtype=np.float64)
+    xq = geom.v0[:, None, :] + np.einsum(
+        "cij,qj->cqi", geom.jac, np.asarray(pts, dtype=np.float64)
     )
     return xq.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
-# Scatter (pre-sorted segment-sum into a dense block)
+# Scatter (segment-sum into a dense block)
 # ---------------------------------------------------------------------------
 
 
 @dataclasses.dataclass(frozen=True)
 class BlockScatter:
-    """Static scatter plan: element-value order -> sorted linear indices."""
+    """Static scatter plan: element-value order -> sorted linear indices.
+
+    The sorted layout keeps the plan reusable for on-device segment-sum
+    scatters (ops/block_sparse.py); the host path just bincounts.
+    """
 
     perm: np.ndarray  # argsort of the flattened linear ids
     sorted_ids: np.ndarray
@@ -108,20 +120,19 @@ def make_block_scatter(
     return BlockScatter(perm=perm, sorted_ids=lin[perm], shape=(nrows, ncols))
 
 
-def scatter_add_dense(vals: Array, plan: BlockScatter) -> Array:
+def scatter_add_dense(vals: Array, plan: BlockScatter) -> np.ndarray:
     """Scatter (nc, a, b) element values into a dense (nrows, ncols) block."""
-    flat = vals.reshape(-1)[jnp.asarray(plan.perm)]
-    out = jax.ops.segment_sum(
-        flat,
-        jnp.asarray(plan.sorted_ids),
-        num_segments=plan.shape[0] * plan.shape[1],
-        indices_are_sorted=True,
+    flat = np.asarray(vals, dtype=np.float64).reshape(-1)[plan.perm]
+    out = np.bincount(
+        plan.sorted_ids,
+        weights=flat,
+        minlength=plan.shape[0] * plan.shape[1],
     )
     return out.reshape(plan.shape)
 
 
 # ---------------------------------------------------------------------------
-# Tabulations (host-side, static constants inside jit)
+# Tabulations (static constants)
 # ---------------------------------------------------------------------------
 
 
@@ -132,14 +143,14 @@ def _tabulate(degree: int):
     return pts, wts, v1, g1, v2, g2
 
 
-def _phys_grad_p2(space: TaylorHoodSpace, degree: int, dtype):
+def _phys_grad_p2(space: TaylorHoodSpace, degree: int, dtype=np.float64):
     """((nc, nq, 6, 2) physical P2 gradients, (nc, nq) w*|detJ|)."""
     pts, wts, _, _, _, g2 = _tabulate(degree)
-    geom = element_geometry(space, dtype=dtype)
-    g2 = jnp.asarray(g2, dtype=dtype)  # (nq, 6, 2) reference gradients
-    gp = jnp.einsum("cij,qnj->cqni", geom.inv_jt, g2)
-    wdet = jnp.asarray(wts, dtype=dtype)[None, :] * geom.det_j[:, None]
-    return gp, wdet
+    geom = element_geometry(space, dtype=np.float64)
+    g2 = np.asarray(g2, dtype=np.float64)  # (nq, 6, 2) reference gradients
+    gp = np.einsum("cij,qnj->cqni", geom.inv_jt, g2)
+    wdet = np.asarray(wts, dtype=np.float64)[None, :] * geom.det_j[:, None]
+    return gp.astype(dtype), wdet.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -151,9 +162,9 @@ def assemble_scalar_block(
     space: TaylorHoodSpace,
     kind: str,
     degree: int = 4,
-    dtype=jnp.float32,
-) -> Array:
-    """Assemble one scalar block.
+    dtype=np.float64,
+) -> np.ndarray:
+    """Assemble one scalar block (float64 internals, cast to dtype on return).
 
     kind:
       'stiffness'    (n2, n2)  ∫ ∇φi·∇φj
@@ -168,50 +179,43 @@ def assemble_scalar_block(
       'mass_p1'      (n1, n1)  ∫ ψi ψj
     """
     pts, wts, v1, _, v2, _ = _tabulate(degree)
-    gp, wdet = _phys_grad_p2(space, degree, dtype)
-    v2j = jnp.asarray(v2, dtype=dtype)  # (nq, 6)
-    v1j = jnp.asarray(v1, dtype=dtype)  # (nq, 3)
+    gp, wdet = _phys_grad_p2(space, degree)
+    v2j = np.asarray(v2, dtype=np.float64)  # (nq, 6)
+    v1j = np.asarray(v1, dtype=np.float64)  # (nq, 3)
     n2, n1 = space.n2, space.n1
     d2 = space.cell_dofs_p2
     d1 = space.cell_dofs_p1
 
     if kind == "stiffness":
-        vals = jnp.einsum("cq,cqid,cqjd->cij", wdet, gp, gp)
+        vals = np.einsum("cq,cqid,cqjd->cij", wdet, gp, gp)
         plan = make_block_scatter(d2, d2, n2, n2)
     elif kind in ("kxx", "kyy", "kyx"):
         a = 0 if kind[1] == "x" else 1
         b = 0 if kind[2] == "x" else 1
-        vals = jnp.einsum("cq,cqi,cqj->cij", wdet, gp[..., a], gp[..., b])
+        vals = np.einsum("cq,cqi,cqj->cij", wdet, gp[..., a], gp[..., b])
         plan = make_block_scatter(d2, d2, n2, n2)
     elif kind == "mass":
-        vals = jnp.einsum("cq,qi,qj->cij", wdet, v2j, v2j)
+        vals = np.einsum("cq,qi,qj->cij", wdet, v2j, v2j)
         plan = make_block_scatter(d2, d2, n2, n2)
     elif kind in ("div_x", "div_y"):
         a = 0 if kind.endswith("x") else 1
-        vals = jnp.einsum("cq,cqi,qj->cij", wdet, gp[..., a], v1j)
+        vals = np.einsum("cq,cqi,qj->cij", wdet, gp[..., a], v1j)
         plan = make_block_scatter(d2, d1, n2, n1)
     elif kind in ("conv_x", "conv_y"):
         a = 0 if kind.endswith("x") else 1
-        vals = jnp.einsum("cq,qi,cqj->cij", wdet, v2j, gp[..., a])
+        vals = np.einsum("cq,qi,cqj->cij", wdet, v2j, gp[..., a])
         plan = make_block_scatter(d2, d2, n2, n2)
     elif kind == "mass_p1":
-        vals = jnp.einsum("cq,qi,qj->cij", wdet, v1j, v1j)
+        vals = np.einsum("cq,qi,qj->cij", wdet, v1j, v1j)
         plan = make_block_scatter(d1, d1, n1, n1)
     else:
         raise ValueError(f"unknown block kind: {kind!r}")
-    return scatter_add_dense(vals, plan)
+    return scatter_add_dense(vals, plan).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
 # Mixed Stokes operator
 # ---------------------------------------------------------------------------
-
-
-@dataclasses.dataclass(frozen=True)
-class StokesOperators:
-    """Raw (pre-BC) mixed operators in the canonical [u1|u2|p] layout."""
-
-    matrix: Array  # (ng, ng) viscous + pressure coupling
 
 
 def assemble_stokes(
@@ -221,8 +225,8 @@ def assemble_stokes(
     div_sign_vp: float = -1.0,
     div_sign_pu: float = -1.0,
     degree: int = 4,
-    dtype=jnp.float32,
-) -> Array:
+    dtype=np.float64,
+) -> np.ndarray:
     """Assemble the mixed Stokes matrix (no BCs applied).
 
     viscous_form:
@@ -237,53 +241,53 @@ def assemble_stokes(
     """
     n2, n1, ng = space.n2, space.n1, space.ng
     if viscous_form == "grad":
-        K = mu * assemble_scalar_block(space, "stiffness", degree, dtype)
+        K = mu * assemble_scalar_block(space, "stiffness", degree)
         K11, K22 = K, K
         K12 = None
     elif viscous_form == "sym":
-        kxx = assemble_scalar_block(space, "kxx", degree, dtype)
-        kyy = assemble_scalar_block(space, "kyy", degree, dtype)
-        kyx = assemble_scalar_block(space, "kyx", degree, dtype)
+        kxx = assemble_scalar_block(space, "kxx", degree)
+        kyy = assemble_scalar_block(space, "kyy", degree)
+        kyx = assemble_scalar_block(space, "kyx", degree)
         K11 = mu * (2.0 * kxx + kyy)
         K22 = mu * (kxx + 2.0 * kyy)
         K12 = mu * kyx  # (u1 row i, u2 col j): mu ∫ ∂yφi ∂xφj
     else:
         raise ValueError(f"unknown viscous_form: {viscous_form!r}")
 
-    D1 = assemble_scalar_block(space, "div_x", degree, dtype)  # ∫ ψj ∂xφi
-    D2 = assemble_scalar_block(space, "div_y", degree, dtype)
+    D1 = assemble_scalar_block(space, "div_x", degree)  # ∫ ψj ∂xφi
+    D2 = assemble_scalar_block(space, "div_y", degree)
 
-    A = jnp.zeros((ng, ng), dtype=dtype)
-    A = A.at[:n2, :n2].set(K11)
-    A = A.at[n2 : 2 * n2, n2 : 2 * n2].set(K22)
+    A = np.zeros((ng, ng), dtype=np.float64)
+    A[:n2, :n2] = K11
+    A[n2 : 2 * n2, n2 : 2 * n2] = K22
     if K12 is not None:
-        A = A.at[:n2, n2 : 2 * n2].set(K12)
-        A = A.at[n2 : 2 * n2, :n2].set(K12.T)
-    A = A.at[:n2, 2 * n2 :].set(div_sign_vp * D1)
-    A = A.at[n2 : 2 * n2, 2 * n2 :].set(div_sign_vp * D2)
-    A = A.at[2 * n2 :, :n2].set(div_sign_pu * D1.T)
-    A = A.at[2 * n2 :, n2 : 2 * n2].set(div_sign_pu * D2.T)
-    return A
+        A[:n2, n2 : 2 * n2] = K12
+        A[n2 : 2 * n2, :n2] = K12.T
+    A[:n2, 2 * n2 :] = div_sign_vp * D1
+    A[n2 : 2 * n2, 2 * n2 :] = div_sign_vp * D2
+    A[2 * n2 :, :n2] = div_sign_pu * D1.T
+    A[2 * n2 :, n2 : 2 * n2] = div_sign_pu * D2.T
+    return A.astype(dtype)
 
 
 def assemble_velocity_mass(
-    space: TaylorHoodSpace, degree: int = 4, dtype=jnp.float32
-) -> Array:
+    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64
+) -> np.ndarray:
     """S = ∫ v·u dx on the mixed space (pressure block zero).
 
     Reference: FEONet_time_dep_Stokes/assemble_fenics.py:122-126.
     """
     n2, ng = space.n2, space.ng
-    M = assemble_scalar_block(space, "mass", degree, dtype)
-    S = jnp.zeros((ng, ng), dtype=dtype)
-    S = S.at[:n2, :n2].set(M)
-    S = S.at[n2 : 2 * n2, n2 : 2 * n2].set(M)
-    return S
+    M = assemble_scalar_block(space, "mass", degree)
+    S = np.zeros((ng, ng), dtype=np.float64)
+    S[:n2, :n2] = M
+    S[n2 : 2 * n2, n2 : 2 * n2] = M
+    return S.astype(dtype)
 
 
 def assemble_convection(
-    space: TaylorHoodSpace, degree: int = 4, dtype=jnp.float32
-) -> tuple[Array, Array]:
+    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64
+) -> tuple[np.ndarray, np.ndarray]:
     """Linearized convection matrices B1, B2 on the mixed space.
 
     B1[i,j] = ∫ (∂x u_j)·v_i, B2 with ∂y — block-diagonal over (u1, u2).
@@ -291,15 +295,15 @@ def assemble_convection(
     (``dot(dot(grad(u), e_k), v) * dx``).
     """
     n2, ng = space.n2, space.ng
-    C1 = assemble_scalar_block(space, "conv_x", degree, dtype)
-    C2 = assemble_scalar_block(space, "conv_y", degree, dtype)
-    B1 = jnp.zeros((ng, ng), dtype=dtype)
-    B1 = B1.at[:n2, :n2].set(C1)
-    B1 = B1.at[n2 : 2 * n2, n2 : 2 * n2].set(C1)
-    B2 = jnp.zeros((ng, ng), dtype=dtype)
-    B2 = B2.at[:n2, :n2].set(C2)
-    B2 = B2.at[n2 : 2 * n2, n2 : 2 * n2].set(C2)
-    return B1, B2
+    C1 = assemble_scalar_block(space, "conv_x", degree)
+    C2 = assemble_scalar_block(space, "conv_y", degree)
+    B1 = np.zeros((ng, ng), dtype=np.float64)
+    B1[:n2, :n2] = C1
+    B1[n2 : 2 * n2, n2 : 2 * n2] = C1
+    B2 = np.zeros((ng, ng), dtype=np.float64)
+    B2[:n2, :n2] = C2
+    B2[n2 : 2 * n2, n2 : 2 * n2] = C2
+    return B1.astype(dtype), B2.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -307,41 +311,49 @@ def assemble_convection(
 # ---------------------------------------------------------------------------
 
 
+def _p2_scatter_matrix(space: TaylorHoodSpace):
+    """CSR (n2, nc*6) summing element-local P2 contributions into nodes."""
+    from scipy.sparse import csr_matrix
+
+    ids = space.cell_dofs_p2.reshape(-1)
+    n = ids.shape[0]
+    return csr_matrix(
+        (np.ones(n), (ids.astype(np.int64), np.arange(n, dtype=np.int64))),
+        shape=(space.n2, n),
+    )
+
+
 def _load_from_quad_values(
-    space: TaylorHoodSpace, f_quad: Array, degree: int, dtype
-) -> Array:
+    space: TaylorHoodSpace, f_quad: Array, degree: int, dtype=np.float64
+) -> np.ndarray:
     """Load vectors from forcing values at quadrature points.
 
     f_quad: (B, nc, nq, 2) forcing (f1, f2) at the physical quadrature points.
     Returns (B, ng): ∫ f·v for every mixed test function (pressure rows 0).
     """
     _, wts, _, _, v2, _ = _tabulate(degree)
-    _, wdet = _phys_grad_p2(space, degree, dtype)  # (nc, nq)
-    v2j = jnp.asarray(v2, dtype=dtype)  # (nq, 6)
+    _, wdet = _phys_grad_p2(space, degree)  # (nc, nq)
+    v2j = np.asarray(v2, dtype=np.float64)  # (nq, 6)
+    f_quad = np.asarray(f_quad, dtype=np.float64)
     # per-element load: (B, nc, 6, 2)
-    el = jnp.einsum("cq,qi,bcqk->bcik", wdet, v2j, f_quad.astype(dtype))
-    nc = space.mesh.num_cells
-    ids = jnp.asarray(space.cell_dofs_p2.reshape(-1), dtype=jnp.int32)
-    flat = el.reshape(el.shape[0], nc * 6, 2)
-    # segment-sum over element-local contributions -> P2 nodal loads
-    def seg(x):  # (nc*6,) -> (n2,)
-        return jax.ops.segment_sum(x, ids, num_segments=space.n2)
-
-    l1 = jax.vmap(seg)(flat[:, :, 0])
-    l2 = jax.vmap(seg)(flat[:, :, 1])
+    el = np.einsum("cq,qi,bcqk->bcik", wdet, v2j, f_quad)
     B = el.shape[0]
-    return jnp.concatenate(
-        [l1, l2, jnp.zeros((B, space.n1), dtype=dtype)], axis=1
-    )
+    nc = space.mesh.num_cells
+    P = _p2_scatter_matrix(space)  # (n2, nc*6)
+    flat = el.transpose(0, 3, 1, 2).reshape(B * 2, nc * 6)  # rows: (b, comp)
+    nodal = (P @ flat.T).T.reshape(B, 2, space.n2)
+    return np.concatenate(
+        [nodal[:, 0], nodal[:, 1], np.zeros((B, space.n1))], axis=1
+    ).astype(dtype)
 
 
 def assemble_load_sincos(
     space: TaylorHoodSpace,
     coeffs: Array,
     degree: int = 7,
-    dtype=jnp.float32,
+    dtype=np.float64,
     validate_form: bool = False,
-) -> Array:
+) -> np.ndarray:
     """Batched load vectors for the parametric sin/cos forcing.
 
     coeffs: (B, 6) = (m0, m1, n0, n1, n2, n3);
@@ -351,7 +363,8 @@ def assemble_load_sincos(
     f = (m0 + sin(..), m1 + cos(..)) (assemble_fenics.py:161 — an upstream
     inconsistency kept behind a flag).
     """
-    xq = physical_quad_points(space, degree, dtype=dtype)  # (nc, nq, 2)
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    xq = physical_quad_points(space, degree)  # (nc, nq, 2)
     x, y = xq[..., 0], xq[..., 1]
     m0, m1 = coeffs[:, 0], coeffs[:, 1]
     n0, n1, n2_, n3 = coeffs[:, 2], coeffs[:, 3], coeffs[:, 4], coeffs[:, 5]
@@ -359,30 +372,34 @@ def assemble_load_sincos(
     def bx(v):  # (B,) -> (B, 1, 1)
         return v[:, None, None]
 
-    s = jnp.sin(bx(n0) * x[None] + bx(n1) * y[None])
-    c = jnp.cos(bx(n2_) * x[None] + bx(n3) * y[None])
+    s = np.sin(bx(n0) * x[None] + bx(n1) * y[None])
+    c = np.cos(bx(n2_) * x[None] + bx(n3) * y[None])
     if validate_form:
         f1, f2 = bx(m0) + s, bx(m1) + c
     else:
         f1, f2 = bx(m0) * s, bx(m1) * c
-    f_quad = jnp.stack([f1, f2], axis=-1)  # (B, nc, nq, 2)
+    f_quad = np.stack([f1, f2], axis=-1)  # (B, nc, nq, 2)
     return _load_from_quad_values(space, f_quad, degree, dtype)
 
 
 def assemble_load_constant(
-    space: TaylorHoodSpace, f: tuple[float, float], degree: int = 4, dtype=jnp.float32
-) -> Array:
+    space: TaylorHoodSpace, f: tuple[float, float], degree: int = 4, dtype=np.float64
+) -> np.ndarray:
     """Load vector for a constant forcing, e.g. (5, -5) or (0, 0)
     (reference: FEONet_time_dep_Stokes/assemble_fenics.py:111-115)."""
-    xq = physical_quad_points(space, degree, dtype=dtype)
-    ones = jnp.ones(xq.shape[:2], dtype=dtype)
-    f_quad = jnp.stack([f[0] * ones, f[1] * ones], axis=-1)[None]
+    xq = physical_quad_points(space, degree)
+    ones = np.ones(xq.shape[:2])
+    f_quad = np.stack([f[0] * ones, f[1] * ones], axis=-1)[None]
     return _load_from_quad_values(space, f_quad, degree, dtype)[0]
 
 
 def assemble_load_from_velocity_values(
-    space: TaylorHoodSpace, u1_vals: Array, u2_vals: Array, degree: int = 4, dtype=jnp.float32
-) -> Array:
+    space: TaylorHoodSpace,
+    u1_vals: Array,
+    u2_vals: Array,
+    degree: int = 4,
+    dtype=np.float64,
+) -> np.ndarray:
     """Load vectors for forcing given as a P2 velocity FE function (GRF case).
 
     ∫ f·v with f = Σ_k f_k φ_k is the velocity mass matrix applied to the
@@ -390,11 +407,11 @@ def assemble_load_from_velocity_values(
     builds a dolfin Function and assembles inner(f, v)*dx).
     u1_vals, u2_vals: (B, n2) nodal values. Returns (B, ng).
     """
-    M = assemble_scalar_block(space, "mass", degree, dtype)
-    l1 = u1_vals.astype(dtype) @ M.T
-    l2 = u2_vals.astype(dtype) @ M.T
-    B = u1_vals.shape[0]
-    return jnp.concatenate([l1, l2, jnp.zeros((B, space.n1), dtype=dtype)], axis=1)
+    M = assemble_scalar_block(space, "mass", degree)
+    l1 = np.asarray(u1_vals, dtype=np.float64) @ M.T
+    l2 = np.asarray(u2_vals, dtype=np.float64) @ M.T
+    B = l1.shape[0]
+    return np.concatenate([l1, l2, np.zeros((B, space.n1))], axis=1).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -402,22 +419,24 @@ def assemble_load_from_velocity_values(
 # ---------------------------------------------------------------------------
 
 
-def apply_bc_matrix(A: Array, mask: Array) -> Array:
+def apply_bc_matrix(A: Array, mask: Array) -> np.ndarray:
     """Zero the constrained rows and put 1 on their diagonal.
 
     Matches ``bc.apply(A)`` (reference: FEONet_Stokes_square/
     assemble_fenics.py:67-69). mask: (ng,) 1.0 where constrained.
     """
-    mask = mask.astype(A.dtype)
-    return A * (1.0 - mask)[:, None] + jnp.diag(mask)
+    A = np.asarray(A, dtype=np.float64)
+    mask = np.asarray(mask, dtype=np.float64)
+    return A * (1.0 - mask)[:, None] + np.diag(mask)
 
 
-def apply_bc_vector(L: Array, mask: Array, values: Array) -> Array:
+def apply_bc_vector(L: Array, mask: Array, values: Array) -> np.ndarray:
     """Set constrained entries of the load vector(s) to the BC values.
 
     Matches the RHS effect of ``bc.apply(A, L)`` (reference:
     FEONet_Stokes_square/assemble_fenics.py:130-131). Broadcasts over leading
     batch dims.
     """
-    mask = mask.astype(L.dtype)
-    return L * (1.0 - mask) + values.astype(L.dtype) * mask
+    L = np.asarray(L, dtype=np.float64)
+    mask = np.asarray(mask, dtype=np.float64)
+    return L * (1.0 - mask) + np.asarray(values, dtype=np.float64) * mask

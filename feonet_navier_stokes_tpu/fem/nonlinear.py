@@ -19,15 +19,18 @@ assemble the exact Gateaux-derivative Jacobian
     J_conv[i,j] = ∫ [ (φ_j e_c)·∇u + u·∇(φ_j e_c) ] · φ_i dx
 
 as four n2 x n2 element-einsum blocks with the same segment-sum scatter as
-the linear forms. Everything is jit; one factory per space.
+the linear forms.
+
+Host-side numpy float64 throughout: this is ground-truth machinery (Newton
+solves, IMEX rollouts) that must be exact regardless of the JAX backend —
+see fem/assemble.py's placement rationale. The *training* convection (group
+FEM) stays on-device in residual/losses.py.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.taylor_hood import TaylorHoodSpace
@@ -36,15 +39,16 @@ from .assemble import (
     _phys_grad_p2,
     make_block_scatter,
     scatter_add_dense,
+    _p2_scatter_matrix,
 )
 
-Array = jax.Array
+Array = np.ndarray
 
 
 def make_true_convection(
-    space: TaylorHoodSpace, degree: int = 4, dtype=jnp.float64
+    space: TaylorHoodSpace, degree: int = 4
 ) -> tuple[Callable[[Array], Array], Callable[[Array], Array]]:
-    """Build (conv_fn, jac_fn) for the weak trilinear convection.
+    """Build (conv_fn, jac_fn) for the weak trilinear convection (numpy f64).
 
     conv_fn(u):  (..., ng) -> (..., ng)   c_i(u) = ∫ (u·∇)u · φ_i
     jac_fn(u):   (ng,)     -> (ng, ng)    dc/du (velocity blocks only)
@@ -53,59 +57,56 @@ def make_true_convection(
     multiplies by (1 - mask)).
     """
     pts, wts, v1, _, v2, _ = _tabulate(degree)
-    gp, wdet = _phys_grad_p2(space, degree, dtype)  # (nc,nq,6,2), (nc,nq)
-    v2j = jnp.asarray(v2, dtype=dtype)  # (nq, 6)
-    dofs = jnp.asarray(space.cell_dofs_p2.astype(np.int32))  # (nc, 6)
+    gp, wdet = _phys_grad_p2(space, degree)  # (nc,nq,6,2), (nc,nq)
+    v2j = np.asarray(v2, dtype=np.float64)  # (nq, 6)
+    dofs = space.cell_dofs_p2  # (nc, 6)
     n2, n1, ng = space.n2, space.n1, space.ng
     nc = space.mesh.num_cells
-    flat_ids = dofs.reshape(-1)
-    plan22 = make_block_scatter(space.cell_dofs_p2, space.cell_dofs_p2, n2, n2)
+    P = _p2_scatter_matrix(space)  # (n2, nc*6) CSR
+    plan22 = make_block_scatter(dofs, dofs, n2, n2)
 
     def _at_quad(u_flat: Array):
         """nodal (ng,) -> per-quad velocity values and gradients."""
         u1e = u_flat[:n2][dofs]  # (nc, 6)
         u2e = u_flat[n2 : 2 * n2][dofs]
-        u1q = jnp.einsum("qi,ci->cq", v2j, u1e)
-        u2q = jnp.einsum("qi,ci->cq", v2j, u2e)
-        gu1 = jnp.einsum("cqid,ci->cqd", gp, u1e)  # (nc, nq, 2)
-        gu2 = jnp.einsum("cqid,ci->cqd", gp, u2e)
+        u1q = np.einsum("qi,ci->cq", v2j, u1e)
+        u2q = np.einsum("qi,ci->cq", v2j, u2e)
+        gu1 = np.einsum("cqid,ci->cqd", gp, u1e)  # (nc, nq, 2)
+        gu2 = np.einsum("cqid,ci->cqd", gp, u2e)
         return u1q, u2q, gu1, gu2
 
     def conv_one(u_flat: Array) -> Array:
         u1q, u2q, gu1, gu2 = _at_quad(u_flat)
         c1 = u1q * gu1[..., 0] + u2q * gu1[..., 1]  # (nc, nq)
         c2 = u1q * gu2[..., 0] + u2q * gu2[..., 1]
-        el1 = jnp.einsum("cq,qi,cq->ci", wdet, v2j, c1)  # (nc, 6)
-        el2 = jnp.einsum("cq,qi,cq->ci", wdet, v2j, c2)
-        l1 = jax.ops.segment_sum(el1.reshape(-1), flat_ids, num_segments=n2)
-        l2 = jax.ops.segment_sum(el2.reshape(-1), flat_ids, num_segments=n2)
-        return jnp.concatenate([l1, l2, jnp.zeros(n1, dtype=dtype)])
+        el1 = np.einsum("cq,qi,cq->ci", wdet, v2j, c1)  # (nc, 6)
+        el2 = np.einsum("cq,qi,cq->ci", wdet, v2j, c2)
+        l1 = P @ el1.reshape(-1)
+        l2 = P @ el2.reshape(-1)
+        return np.concatenate([l1, l2, np.zeros(n1)])
 
     def conv_fn(u: Array) -> Array:
-        u = u.astype(dtype)
+        u = np.asarray(u, dtype=np.float64)
         if u.ndim == 1:
             return conv_one(u)
-        return jax.vmap(conv_one)(u.reshape(-1, ng)).reshape(u.shape)
+        flat = u.reshape(-1, ng)
+        return np.stack([conv_one(x) for x in flat]).reshape(u.shape)
 
     def jac_fn(u_flat: Array) -> Array:
-        u_flat = u_flat.astype(dtype)
+        u_flat = np.asarray(u_flat, dtype=np.float64)
         u1q, u2q, gu1, gu2 = _at_quad(u_flat)
         # advective trial derivative: a ∂xφ_j + b ∂yφ_j (same for both blocks)
         adv = u1q[..., None] * gp[..., 0] + u2q[..., None] * gp[..., 1]  # (nc,nq,6)
-        wphi = jnp.einsum("cq,qi->cqi", wdet, v2j)  # (nc, nq, 6) = w|J| φ_i
-        e11 = jnp.einsum("cqi,cqj->cij", wphi, gu1[..., 0][..., None] * v2j[None] + adv)
-        e12 = jnp.einsum("cqi,cq,qj->cij", wphi, gu1[..., 1], v2j)
-        e21 = jnp.einsum("cqi,cq,qj->cij", wphi, gu2[..., 0], v2j)
-        e22 = jnp.einsum("cqi,cqj->cij", wphi, gu2[..., 1][..., None] * v2j[None] + adv)
-        J11 = scatter_add_dense(e11, plan22)
-        J12 = scatter_add_dense(e12, plan22)
-        J21 = scatter_add_dense(e21, plan22)
-        J22 = scatter_add_dense(e22, plan22)
-        J = jnp.zeros((ng, ng), dtype=dtype)
-        J = J.at[:n2, :n2].set(J11)
-        J = J.at[:n2, n2 : 2 * n2].set(J12)
-        J = J.at[n2 : 2 * n2, :n2].set(J21)
-        J = J.at[n2 : 2 * n2, n2 : 2 * n2].set(J22)
+        wphi = np.einsum("cq,qi->cqi", wdet, v2j)  # (nc, nq, 6) = w|J| φ_i
+        e11 = np.einsum("cqi,cqj->cij", wphi, gu1[..., 0][..., None] * v2j[None] + adv)
+        e12 = np.einsum("cqi,cq,qj->cij", wphi, gu1[..., 1], v2j)
+        e21 = np.einsum("cqi,cq,qj->cij", wphi, gu2[..., 0], v2j)
+        e22 = np.einsum("cqi,cqj->cij", wphi, gu2[..., 1][..., None] * v2j[None] + adv)
+        J = np.zeros((ng, ng))
+        J[:n2, :n2] = scatter_add_dense(e11, plan22)
+        J[:n2, n2 : 2 * n2] = scatter_add_dense(e12, plan22)
+        J[n2 : 2 * n2, :n2] = scatter_add_dense(e21, plan22)
+        J[n2 : 2 * n2, n2 : 2 * n2] = scatter_add_dense(e22, plan22)
         return J
 
     return conv_fn, jac_fn

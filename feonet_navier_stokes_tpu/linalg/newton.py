@@ -20,6 +20,13 @@ replacing the reference notebook's ``torch.autograd.functional.jacobian``
 (compare_ordering_nonlinear.ipynb cell 24) and FEniCS's MUMPS-backed Newton
 (assemble_fenics.py:206-217).
 
+Two implementations live here on purpose:
+  * ``masked_convection`` / ``ns_residual`` — jnp, device-dtype, used inside
+    the jitted training loss (residual/losses.py);
+  * the Newton solvers — host numpy float64 UNCONDITIONALLY (ground-truth
+    generation; tol=1e-10 is unreachable in f32, and TPU backends silently
+    truncate f64 without x64 — see fem/assemble.py's placement rationale).
+
 BC conventions (SURVEY.md "hard parts"): ``bc_rows='masked'`` zeroes the
 convection on constrained rows so BC residual rows are exactly u_r - g_r
 (the notebook's validated system); ``bc_rows='script'`` reproduces the
@@ -30,13 +37,12 @@ with no extra masking.
 
 from __future__ import annotations
 
-from functools import partial
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-Array = jax.Array
+Array = Any
 
 
 def velocity_row_maps(n2: int, n1: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -50,14 +56,15 @@ def velocity_row_maps(n2: int, n1: int) -> tuple[np.ndarray, np.ndarray, np.ndar
 def masked_convection(
     u: Array, B1: Array, B2: Array, n2: int, conv_row_mask: Array | None = None
 ) -> Array:
-    """conv(u) for batched u of shape (..., ng).
+    """conv(u) for batched u of shape (..., ng) — jnp, device training path.
 
     conv_row_mask: optional (ng,) with 1.0 on rows to zero (BC rows in
     'masked' mode); None reproduces the script behavior when B1/B2 already
     carry bc.apply rows.
     """
-    ng = u.shape[-1]
-    d1 = jnp.concatenate([u[..., :n2], u[..., :n2], jnp.zeros_like(u[..., 2 * n2 :])], axis=-1)
+    d1 = jnp.concatenate(
+        [u[..., :n2], u[..., :n2], jnp.zeros_like(u[..., 2 * n2 :])], axis=-1
+    )
     d2 = jnp.concatenate(
         [u[..., n2 : 2 * n2], u[..., n2 : 2 * n2], jnp.zeros_like(u[..., 2 * n2 :])],
         axis=-1,
@@ -77,79 +84,85 @@ def ns_residual(
     n2: int,
     conv_row_mask: Array | None = None,
 ) -> Array:
-    """R(u) = A u + conv(u) - f, batched over leading dims."""
+    """R(u) = A u + conv(u) - f, batched over leading dims (jnp)."""
     return u @ A.T + masked_convection(u, B1, B2, n2, conv_row_mask) - load
 
 
-def _ns_jacobian(
-    u: Array,
-    A: Array,
-    B1: Array,
-    B2: Array,
+def _masked_convection_np(
+    u: np.ndarray,
+    B1: np.ndarray,
+    B2: np.ndarray,
     n2: int,
-    conv_row_mask: Array | None,
-) -> Array:
+    conv_row_mask: np.ndarray | None,
+) -> np.ndarray:
+    """Float64 numpy twin of ``masked_convection`` for the Newton path."""
+    z = np.zeros_like(u[..., 2 * n2 :])
+    d1 = np.concatenate([u[..., :n2], u[..., :n2], z], axis=-1)
+    d2 = np.concatenate([u[..., n2 : 2 * n2], u[..., n2 : 2 * n2], z], axis=-1)
+    conv = d1 * (u @ B1.T) + d2 * (u @ B2.T)
+    if conv_row_mask is not None:
+        conv = conv * (1.0 - conv_row_mask)
+    return conv
+
+
+def _ns_jacobian_np(
+    u: np.ndarray,
+    A: np.ndarray,
+    B1: np.ndarray,
+    B2: np.ndarray,
+    n2: int,
+    conv_row_mask: np.ndarray | None,
+) -> np.ndarray:
     ng = u.shape[-1]
-    d1 = jnp.concatenate([u[:n2], u[:n2], jnp.zeros(ng - 2 * n2, u.dtype)])
-    d2 = jnp.concatenate([u[n2 : 2 * n2], u[n2 : 2 * n2], jnp.zeros(ng - 2 * n2, u.dtype)])
+    zeros = np.zeros(ng - 2 * n2)
+    d1 = np.concatenate([u[:n2], u[:n2], zeros])
+    d2 = np.concatenate([u[n2 : 2 * n2], u[n2 : 2 * n2], zeros])
     J = d1[:, None] * B1 + d2[:, None] * B2
     b1u = B1 @ u
     b2u = B2 @ u
     rows, u1c, u2c = velocity_row_maps(n2, ng - 2 * n2)
-    rows_j = jnp.asarray(rows)
-    J = J.at[rows_j, jnp.asarray(u1c)].add(b1u[: 2 * n2])
-    J = J.at[rows_j, jnp.asarray(u2c)].add(b2u[: 2 * n2])
+    J[rows, u1c] += b1u[: 2 * n2]
+    J[rows, u2c] += b2u[: 2 * n2]
     if conv_row_mask is not None:
-        J = J * (1.0 - conv_row_mask)[:, None]
+        J *= (1.0 - conv_row_mask)[:, None]
     return A + J
 
 
 def _damped_newton(
     residual_fn,
     jacobian_fn,
-    u0: Array,
-    f_norm: Array,
+    u0: np.ndarray,
+    f_norm: float,
     max_iters: int,
     tol: float,
     growth: float = 3.0,
-) -> tuple[Array, Array, Array]:
-    """Shared Newton core with non-monotone damping.
+) -> tuple[np.ndarray, float, int]:
+    """Shared Newton core with non-monotone damping (host numpy).
 
     The full step is taken unless it grows |R| by more than ``growth``x, in
     which case it is halved (up to 8 times). Allowing transient growth beats
     strict backtracking on these saddle-point systems (strict monotone line
     search stalls; FEniCS's relaxed Newton behaves similarly).
-    Returns (u, rel_residual, iterations).
+    Returns (u, final |R|, iterations).
     """
-
-    def res_norm(u):
-        return jnp.linalg.norm(residual_fn(u))
-
-    def cond(state):
-        _, r, it = state
-        return jnp.logical_and(r / f_norm > tol, it < max_iters)
-
-    def body(state):
-        u, r, it = state
+    u = np.asarray(u0, dtype=np.float64)
+    r = float(np.linalg.norm(residual_fn(u)))
+    it = 0
+    while r / f_norm > tol and it < max_iters:
         R = residual_fn(u)
         J = jacobian_fn(u)
-        du = jnp.linalg.solve(J, -R)
-
-        def ls_cond(ls):
-            step, rn = ls
-            return jnp.logical_and(rn > growth * r, step > 1.0 / 256.0)
-
-        def ls_body(ls):
-            step, _ = ls
-            return step * 0.5, res_norm(u + step * 0.5 * du)
-
-        step, rn = jax.lax.while_loop(ls_cond, ls_body, (jnp.asarray(1.0, u.dtype), res_norm(u + du)))
-        return u + step * du, rn, it + 1
-
-    return jax.lax.while_loop(cond, body, (u0, res_norm(u0), jnp.asarray(0)))
+        du = np.linalg.solve(J, -R)
+        step = 1.0
+        rn = float(np.linalg.norm(residual_fn(u + du)))
+        while rn > growth * r and step > 1.0 / 256.0:
+            step *= 0.5
+            rn = float(np.linalg.norm(residual_fn(u + step * du)))
+        u = u + step * du
+        r = rn
+        it += 1
+    return u, r, it
 
 
-@partial(jax.jit, static_argnames=("n2", "max_iters", "tol"))
 def newton_solve_ns(
     A: Array,
     B1: Array,
@@ -160,24 +173,28 @@ def newton_solve_ns(
     conv_row_mask: Array | None = None,
     max_iters: int = 30,
     tol: float = 1e-10,
-) -> tuple[Array, Array, Array]:
-    """Newton on the group-FEM system for one sample.
+) -> tuple[np.ndarray, float, int]:
+    """Newton on the group-FEM system for one sample (host float64).
 
     Returns (u, final |R|/|f|, iterations). Convergence is NOT guaranteed for
     every forcing draw — the reference's FEniCS Newton also fails and
     RESAMPLES (FEONet_steady_Navier-Stokes/assemble_fenics.py:204-241); use
     the problem layer's resampling pipeline for dataset generation.
-    vmap/lax.map over samples for batches.
     """
+    A = np.asarray(A, dtype=np.float64)
+    B1 = np.asarray(B1, dtype=np.float64)
+    B2 = np.asarray(B2, dtype=np.float64)
+    load = np.asarray(load, dtype=np.float64)
+    mask = None if conv_row_mask is None else np.asarray(conv_row_mask, np.float64)
     if u0 is None:
         # Stokes solve (drop convection) as the initial guess — the standard
         # continuation start; FEniCS starts from 0 but takes more steps.
-        u0 = jnp.linalg.solve(A, load)
-    f_norm = jnp.maximum(jnp.linalg.norm(load), 1e-30)
+        u0 = np.linalg.solve(A, load)
+    f_norm = max(float(np.linalg.norm(load)), 1e-30)
     u, r, it = _damped_newton(
-        lambda u: ns_residual(u, A, B1, B2, load, n2, conv_row_mask),
-        lambda u: _ns_jacobian(u, A, B1, B2, n2, conv_row_mask),
-        u0,
+        lambda u: np.asarray(u @ A.T + _masked_convection_np(u, B1, B2, n2, mask) - load),
+        lambda u: _ns_jacobian_np(u, A, B1, B2, n2, mask),
+        np.asarray(u0, dtype=np.float64),
         f_norm,
         max_iters,
         tol,
@@ -185,7 +202,6 @@ def newton_solve_ns(
     return u, r / f_norm, it
 
 
-@partial(jax.jit, static_argnames=("conv_fn", "jac_fn", "max_iters", "tol", "n_continuation"))
 def newton_solve_weak(
     A: Array,
     conv_fn,
@@ -196,16 +212,18 @@ def newton_solve_weak(
     max_iters: int = 25,
     tol: float = 1e-11,
     n_continuation: int = 4,
-) -> tuple[Array, Array, Array]:
-    """Newton on the TRUE weak NS system A u + c(u) - f = 0.
+) -> tuple[np.ndarray, float, int]:
+    """Newton on the TRUE weak NS system A u + c(u) - f = 0 (host float64).
 
-    conv_fn/jac_fn from ``fem.nonlinear.make_true_convection`` (static —
-    close over the space). BC rows of the convection are zeroed so
-    constrained rows read u_r - g_r exactly. Uses convection-strength
-    continuation (gamma = 1/n, 2/n, .., 1) with warm starts, the equivalent
-    of FEniCS's relaxation for harder draws. Returns (u, rel_res, iters).
+    conv_fn/jac_fn from ``fem.nonlinear.make_true_convection``. BC rows of
+    the convection are zeroed so constrained rows read u_r - g_r exactly.
+    Uses convection-strength continuation (gamma = 1/n, 2/n, .., 1) with warm
+    starts, the equivalent of FEniCS's relaxation for harder draws.
+    Returns (u, rel_res, iters).
     """
-    keep = 1.0 - bc_mask
+    A = np.asarray(A, dtype=np.float64)
+    load = np.asarray(load, dtype=np.float64)
+    keep = 1.0 - np.asarray(bc_mask, dtype=np.float64)
 
     def make_fns(gamma):
         def res(u):
@@ -217,14 +235,15 @@ def newton_solve_weak(
         return res, jac
 
     if u0 is None:
-        u0 = jnp.linalg.solve(A, load)
-    f_norm = jnp.maximum(jnp.linalg.norm(load), 1e-30)
+        u0 = np.linalg.solve(A, load)
+    f_norm = max(float(np.linalg.norm(load)), 1e-30)
 
-    u = u0
-    total_it = jnp.asarray(0)
+    u = np.asarray(u0, dtype=np.float64)
+    total_it = 0
+    r = 0.0
     for k in range(1, n_continuation + 1):
         gamma = k / n_continuation
         res, jac = make_fns(gamma)
         u, r, it = _damped_newton(res, jac, u, f_norm, max_iters, tol)
-        total_it = total_it + it
+        total_it += it
     return u, r / f_norm, total_it

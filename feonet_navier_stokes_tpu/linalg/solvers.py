@@ -6,38 +6,42 @@ Replaces the reference's per-sample ``np.linalg.solve`` loops:
     LU factorization shared across the whole batch.
   * time-dependent: 101-step rollout of
     solve(S + dt*A, S u + dt f) (reference:
-    FEONet_time_dep_Stokes/create_data.py:75-91) — here ``lax.scan`` over the
-    prefactorized system, all trajectories batched on the MXU.
+    FEONet_time_dep_Stokes/create_data.py:75-91) — one prefactorized LU,
+    all trajectories advanced together per step.
+
+Host-side scipy/numpy float64 UNCONDITIONALLY: these produce the reference
+solutions (create_data.py replacement) that training metrics compare against;
+they must be exact on any JAX backend (TPU f64 LU does not even compile).
+See fem/assemble.py's placement rationale.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from typing import Callable
 
-import jax
-import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
+import numpy as np
+from scipy.linalg import lu_factor, lu_solve
 
-Array = jax.Array
-
-
-def solve_dense(A: Array, b: Array) -> Array:
-    """Single solve A x = b."""
-    return jnp.linalg.solve(A, b)
+Array = np.ndarray
 
 
-@jax.jit
-def solve_dense_batched(A: Array, B: Array) -> Array:
+def solve_dense(A: Array, b: Array) -> np.ndarray:
+    """Single solve A x = b (float64)."""
+    return np.linalg.solve(
+        np.asarray(A, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    )
+
+
+def solve_dense_batched(A: Array, B: Array) -> np.ndarray:
     """Solve A x_i = b_i for a batch B of shape (n_samples, n).
 
     One factorization, one triangular-solve batch — the reference's
     O(n^3)-per-sample loop collapses to O(n^3) + O(n_samples n^2).
     """
-    lu, piv = lu_factor(A)
-    return lu_solve((lu, piv), B.T).T
+    lu, piv = lu_factor(np.asarray(A, dtype=np.float64))
+    return lu_solve((lu, piv), np.asarray(B, dtype=np.float64).T).T
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
 def implicit_euler_rollout(
     S: Array,
     A: Array,
@@ -47,8 +51,8 @@ def implicit_euler_rollout(
     n_steps: int,
     bc_mask: Array | None = None,
     bc_values: Array | None = None,
-) -> Array:
-    """Batched implicit-Euler trajectories.
+) -> np.ndarray:
+    """Batched implicit-Euler trajectories (float64).
 
     Solves (S + dt*A) u_t = S u_{t-1} + dt * f for t = 1..n_steps.
     u0: (B, ng) initial mixed coefficients; load: (ng,) or (B, ng).
@@ -58,22 +62,24 @@ def implicit_euler_rollout(
     baked into the operators; we support both conventions).
     Returns (B, n_steps + 1, ng) including u0.
     """
-    sys = S + dt * A
+    S = np.asarray(S, dtype=np.float64)
+    u0 = np.asarray(u0, dtype=np.float64)
+    sys = S + dt * np.asarray(A, dtype=np.float64)
     lu, piv = lu_factor(sys)
-    load_b = jnp.broadcast_to(load, u0.shape)
+    load_b = np.broadcast_to(np.asarray(load, dtype=np.float64), u0.shape)
 
-    def step(u, _):
+    traj = np.empty((u0.shape[0], n_steps + 1, u0.shape[1]))
+    traj[:, 0] = u0
+    u = u0
+    for t in range(1, n_steps + 1):
         rhs = u @ S.T + dt * load_b
         if bc_mask is not None:
             rhs = rhs * (1.0 - bc_mask) + bc_values * bc_mask
-        u_next = lu_solve((lu, piv), rhs.T).T
-        return u_next, u_next
-
-    _, traj = jax.lax.scan(step, u0, None, length=n_steps)
-    return jnp.concatenate([u0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
+        u = lu_solve((lu, piv), rhs.T).T
+        traj[:, t] = u
+    return traj
 
 
-@partial(jax.jit, static_argnames=("n_steps", "conv_fn"))
 def semi_implicit_ns_rollout(
     S: Array,
     A: Array,
@@ -81,10 +87,10 @@ def semi_implicit_ns_rollout(
     load: Array,
     dt: float,
     n_steps: int,
-    conv_fn,
+    conv_fn: Callable[[Array], Array],
     conv_row_mask: Array,
-) -> Array:
-    """Semi-implicit (IMEX) Navier-Stokes trajectories.
+) -> np.ndarray:
+    """Semi-implicit (IMEX) Navier-Stokes trajectories (float64).
 
     Viscous/pressure terms implicit, convection explicit (lagged):
 
@@ -97,15 +103,18 @@ def semi_implicit_ns_rollout(
     time-dependent *Stokes* only, FEONet_time_dep_Stokes/); designed for the
     ~50k-DoF batched-ensemble stretch config (SURVEY.md §7 step 7).
     """
-    sys = S + dt * A
+    S = np.asarray(S, dtype=np.float64)
+    u0 = np.asarray(u0, dtype=np.float64)
+    sys = S + dt * np.asarray(A, dtype=np.float64)
     lu, piv = lu_factor(sys)
-    load_b = jnp.broadcast_to(load, u0.shape)
-    keep = 1.0 - conv_row_mask
+    load_b = np.broadcast_to(np.asarray(load, dtype=np.float64), u0.shape)
+    keep = 1.0 - np.asarray(conv_row_mask, dtype=np.float64)
 
-    def step(u, _):
+    traj = np.empty((u0.shape[0], n_steps + 1, u0.shape[1]))
+    traj[:, 0] = u0
+    u = u0
+    for t in range(1, n_steps + 1):
         rhs = u @ S.T + dt * (load_b - keep * conv_fn(u))
-        u_next = lu_solve((lu, piv), rhs.T).T
-        return u_next, u_next
-
-    _, traj = jax.lax.scan(step, u0, None, length=n_steps)
-    return jnp.concatenate([u0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
+        u = lu_solve((lu, piv), rhs.T).T
+        traj[:, t] = u
+    return traj

@@ -12,6 +12,13 @@ Per-problem constants (verified against the reference scripts):
                    constant forcing (5,-5) or (0,0), dt (default 0.01)
                    (FEONet_time_dep_Stokes/assemble_fenics.py:108-136)
 
+Precision contract: every ``*64`` attribute is a host numpy float64 array,
+assembled/solved on the host UNCONDITIONALLY (no jax_enable_x64 needed, no
+silent truncation on TPU backends); the unsuffixed twins are jax device
+arrays at the training dtype. Ground truth recomputes float64 loads/ICs from
+the float32 sample parameters (widening is exact), so truth and training
+residual describe the same discrete system on every backend.
+
 Upstream warts documented, not replicated by default:
   * steady_ns ground truth in the reference solves viscosity 0.5*mu while the
     training system assembles mu (assemble_fenics.py:192 vs :88) — our Newton
@@ -25,7 +32,6 @@ Upstream warts documented, not replicated by default:
 from __future__ import annotations
 
 import dataclasses
-from functools import cached_property
 from typing import Any
 
 import jax
@@ -120,6 +126,7 @@ class Problem:
     The heavy constants (operators, Cholesky factor, scatter plans) live as
     device arrays captured by closure; batches are dicts of arrays so the
     whole sample->featurize->forward->loss pipeline stays inside one jit.
+    Their float64 originals stay on the host for ground truth/parity.
     """
 
     def __init__(self, config: ProblemConfig, space: TaylorHoodSpace, bc: BCData):
@@ -144,69 +151,62 @@ class Problem:
         self.mask = jnp.asarray(bc.mask, dtype=dtype)
         self.bc_values = jnp.asarray(bc.values, dtype=dtype)
 
-        # --- operators (assembled in f64, stored at working precision) ---
+        # --- operators: host numpy float64, device copies at working dtype ---
         if c.name == "stokes_hole":
             A_raw = assemble_stokes(
-                space, mu, viscous_form="sym", div_sign_vp=-1.0, div_sign_pu=+1.0,
-                dtype=jnp.float64,
+                space, mu, viscous_form="sym", div_sign_vp=-1.0, div_sign_pu=+1.0
             )
         elif c.name in _TIMEDEP:
-            A_raw = assemble_stokes(
-                space, mu, div_sign_vp=-1.0, div_sign_pu=+1.0, dtype=jnp.float64
-            )
+            A_raw = assemble_stokes(space, mu, div_sign_vp=-1.0, div_sign_pu=+1.0)
         else:
-            A_raw = assemble_stokes(space, mu, dtype=jnp.float64)
-        A64 = apply_bc_matrix(A_raw, jnp.asarray(bc.mask))
-        self.A = A64.astype(dtype)
+            A_raw = assemble_stokes(space, mu)
+        A64 = apply_bc_matrix(A_raw, bc.mask)
         self.A64 = A64
+        self.A = jnp.asarray(A64, dtype=dtype)
 
         self.B1 = self.B2 = None
         self.conv_row_mask = None
         if c.name in ("steady_ns", "timedep_ns"):
-            B1, B2 = assemble_convection(space, dtype=jnp.float64)
+            B1, B2 = assemble_convection(space)
             if c.ns_bc_rows == "script":
-                B1 = apply_bc_matrix(B1, jnp.asarray(bc.mask))
-                B2 = apply_bc_matrix(B2, jnp.asarray(bc.mask))
+                B1 = apply_bc_matrix(B1, bc.mask)
+                B2 = apply_bc_matrix(B2, bc.mask)
             else:
                 self.conv_row_mask = self.mask
-            self.B1, self.B2 = B1.astype(dtype), B2.astype(dtype)
             self.B1_64, self.B2_64 = B1, B2
+            self.B1 = jnp.asarray(B1, dtype=dtype)
+            self.B2 = jnp.asarray(B2, dtype=dtype)
             # true trilinear convection for the ground-truth Newton
             from ..fem.nonlinear import make_true_convection
 
             self._conv_fn, self._jac_fn = make_true_convection(space)
             if c.ns_truth_mu_factor != 1.0:
-                A_truth = assemble_stokes(space, mu * c.ns_truth_mu_factor, dtype=jnp.float64)
-                self.A_truth64 = apply_bc_matrix(A_truth, jnp.asarray(bc.mask))
+                A_truth = assemble_stokes(space, mu * c.ns_truth_mu_factor)
+                self.A_truth64 = apply_bc_matrix(A_truth, bc.mask)
             else:
                 self.A_truth64 = A64
 
         self.S = None
         if c.name in _TIMEDEP:
-            S64 = apply_bc_matrix(
-                assemble_velocity_mass(space, dtype=jnp.float64), jnp.asarray(bc.mask)
-            )
-            self.S = S64.astype(dtype)
+            S64 = apply_bc_matrix(assemble_velocity_mass(space), bc.mask)
             self.S64 = S64
+            self.S = jnp.asarray(S64, dtype=dtype)
             f_const = (5.0, -5.0) if c.forcing == "five" else (0.0, 0.0)
-            load64 = assemble_load_constant(space, f_const, dtype=jnp.float64)
-            load64 = apply_bc_vector(
-                load64, jnp.asarray(bc.mask), jnp.asarray(bc.values)
-            )
-            self.load_const = load64.astype(dtype)
+            load64 = assemble_load_constant(space, f_const)
+            load64 = apply_bc_vector(load64, bc.mask, bc.values)
             self.load_const64 = load64
-            self.sys64 = self.S64 + c.dt * A64
-            self.sys = self.sys64.astype(dtype)
+            self.load_const = jnp.asarray(load64, dtype=dtype)
+            self.sys64 = S64 + c.dt * A64
+            self.sys = jnp.asarray(self.sys64, dtype=dtype)
 
         # --- SPAI preconditioner & the training operator ---
         base64 = self.sys64 if c.name in _TIMEDEP else A64
         if c.precond_iters > 0:
-            self.precond64 = spai(base64, c.precond_iters)
-            self.precond = self.precond64.astype(dtype)
-            self.op_train = (base64 @ self.precond64).astype(dtype)
+            self.set_precond(spai(base64, c.precond_iters))
         else:
+            self.precond64 = None
             self.precond = None
-            self.op_train = base64.astype(dtype)
+            self.op_train = jnp.asarray(base64, dtype=dtype)
 
         # --- sampling state ---
         if c.forcing == "grf":
@@ -218,20 +218,20 @@ class Problem:
 
         if c.name in _TIMEDEP:
             # P2 scalar mass for IC projection (FEniCS `project`)
-            self.M2_64 = assemble_scalar_block(space, "mass", dtype=jnp.float64)
+            self.M2_64 = assemble_scalar_block(space, "mass")
 
     def set_precond(self, M) -> None:
-        """Install a precomputed SPAI preconditioner (e.g. computed in f64 on
-        the CPU backend, or loaded from a cache file like the reference's
-        precond_{ne}_{bc}.npy, train_FEONet.py:126-136) and rebuild the
-        training operator op = base @ M."""
+        """Install a precomputed SPAI preconditioner (e.g. loaded from a cache
+        file like the reference's precond_{ne}_{bc}.npy,
+        train_FEONet.py:126-136) and rebuild the training operator
+        op = base @ M."""
         c = self.config
         dtype = c.dtype
-        M64 = jnp.asarray(np.asarray(M), dtype=jnp.float64)
+        M64 = np.asarray(M, dtype=np.float64)
         base64 = self.sys64 if c.name in _TIMEDEP else self.A64
         self.precond64 = M64
-        self.precond = M64.astype(dtype)
-        self.op_train = (base64 @ M64).astype(dtype)
+        self.precond = jnp.asarray(M64, dtype=dtype)
+        self.op_train = jnp.asarray(base64 @ M64, dtype=dtype)
 
     # ------------------------------------------------------------------
     # dimensions / component slices
@@ -257,72 +257,99 @@ class Problem:
     def sample_batch(self, key: Array, n: int) -> dict[str, Array]:
         """One problem-instance batch: parameters + (BC-lifted) load vectors.
 
-        Steady problems: {'coeff_f', 'load'} (+ 'grf' for grf forcing).
+        Steady problems: {'coeff_f', 'load'} (+ 'grf_ux/uy' for grf forcing).
         Time-dependent: {'ic_coeffs' or stream modes, 'u_init' (projected)}.
+        All entries are device arrays at the training dtype; float64
+        counterparts are recomputed on demand (``load64`` / ``u_init64``).
         """
         c = self.config
         dtype = c.dtype
         if c.name in _TIMEDEP:
             return self._sample_timedep(key, n)
         if c.forcing == "sincos":
-            coeffs = sample_sincos_coeffs(key, n, dtype=jnp.float64)
-            load = assemble_load_sincos(
-                self.space, coeffs, dtype=jnp.float64,
-                validate_form=c.validate_form,
-            )
-            load = apply_bc_vector(load, jnp.asarray(self.bc.mask), jnp.asarray(self.bc.values))
-            return {"coeff_f": coeffs.astype(dtype), "load": load.astype(dtype)}
+            coeffs = sample_sincos_coeffs(key, n)  # f32 draws
+            batch = {"coeff_f": jnp.asarray(coeffs, dtype=dtype)}
+            load64 = self.load64(batch)
+            batch["load"] = jnp.asarray(load64, dtype=dtype)
+            return batch
         if c.forcing == "grf":
-            ux, uy = sample_grf(key, self.grf_chol, n, dtype=jnp.float64)
-            load = assemble_load_from_velocity_values(
-                self.space, ux, uy, dtype=jnp.float64
-            )
-            load = apply_bc_vector(load, jnp.asarray(self.bc.mask), jnp.asarray(self.bc.values))
-            return {
-                "grf_ux": ux.astype(dtype),
-                "grf_uy": uy.astype(dtype),
-                "load": load.astype(dtype),
+            ux64, uy64 = sample_grf(key, self.grf_chol, n)
+            # round to f32 FIRST so the stored fields define the dataset and
+            # the f64 load recompute (ground truth) matches the training load
+            ux32 = ux64.astype(np.float32)
+            uy32 = uy64.astype(np.float32)
+            batch = {
+                "grf_ux": jnp.asarray(ux32, dtype=dtype),
+                "grf_uy": jnp.asarray(uy32, dtype=dtype),
             }
+            load64 = self.load64(batch)
+            batch["load"] = jnp.asarray(load64, dtype=dtype)
+            return batch
         raise ValueError(f"forcing {c.forcing!r} invalid for {c.name}")
 
-    def _project_velocity_ic(self, values_fn) -> Array:
+    def load64(self, batch: dict[str, Array]) -> np.ndarray:
+        """(B, ng) float64 BC-lifted load vectors, recomputed exactly from the
+        float32 sample parameters (the create_data.py f64 contract)."""
+        c = self.config
+        if c.name in _TIMEDEP:
+            raise ValueError("time-dependent problems use load_const64")
+        if c.forcing == "sincos":
+            coeffs64 = np.asarray(batch["coeff_f"], dtype=np.float64)
+            load = assemble_load_sincos(
+                self.space, coeffs64, validate_form=c.validate_form
+            )
+        else:
+            load = assemble_load_from_velocity_values(
+                self.space,
+                np.asarray(batch["grf_ux"], dtype=np.float64),
+                np.asarray(batch["grf_uy"], dtype=np.float64),
+            )
+        return apply_bc_vector(load, self.bc.mask, self.bc.values)
+
+    def _project_velocity_ic(self, values_fn) -> np.ndarray:
         """L2-project an IC (callable coeffs-free closure over quad points)
         into the P2 velocity space — FEniCS ``project(u_init, V)``
-        (FEONet_time_dep_Stokes/assemble_fenics.py:191)."""
+        (FEONet_time_dep_Stokes/assemble_fenics.py:191). Host float64."""
         degree = 6
-        xq = physical_quad_points(self.space, degree, dtype=jnp.float64)
-        f_quad = values_fn(xq)  # (B, nc, nq, 2)
-        loads = _load_from_quad_values(self.space, f_quad, degree, jnp.float64)
+        xq = physical_quad_points(self.space, degree)
+        f_quad = np.asarray(values_fn(xq))  # (B, nc, nq, 2)
+        loads = _load_from_quad_values(self.space, f_quad, degree)
         n2 = self.n2
         b1, b2 = loads[:, :n2], loads[:, n2 : 2 * n2]
-        q1 = jnp.linalg.solve(self.M2_64, b1.T).T
-        q2 = jnp.linalg.solve(self.M2_64, b2.T).T
+        q1 = np.linalg.solve(self.M2_64, b1.T).T
+        q2 = np.linalg.solve(self.M2_64, b2.T).T
         B = loads.shape[0]
-        p_zeros = jnp.zeros((B, self.space.n1), dtype=jnp.float64)
-        return jnp.concatenate([q1, q2, p_zeros], axis=1)
+        return np.concatenate([q1, q2, np.zeros((B, self.space.n1))], axis=1)
+
+    def u_init64(self, batch: dict[str, Array]) -> np.ndarray:
+        """(B, ng) float64 projected initial condition, recomputed exactly
+        from the float32 IC parameters in the batch."""
+        c = self.config
+        if c.bc == "zero":
+            ks = np.asarray(batch["ic_ks"])
+            ls = np.asarray(batch["ic_ls"])
+            amps = np.asarray(batch["ic_amps"], dtype=np.float64)
+            return self._project_velocity_ic(
+                lambda xq: stream_ic_at_points(ks, ls, amps, xq)
+            )
+        coeffs = np.asarray(batch["ic_coeffs"], dtype=np.float64)
+        at_points = lower_ic_at_points if c.bc == "lower" else channel_ic_at_points
+        return self._project_velocity_ic(lambda xq: at_points(coeffs, xq))
 
     def _sample_timedep(self, key: Array, n: int) -> dict[str, Array]:
         c = self.config
         dtype = c.dtype
         if c.bc == "zero":
             ks, ls, amps = sample_stream_ic_modes(key, n)
-            u_init = self._project_velocity_ic(
-                lambda xq: stream_ic_at_points(ks, ls, amps, xq)
-            )
             batch = {
                 "ic_ks": ks,
                 "ic_ls": ls,
-                "ic_amps": amps.astype(dtype),
+                "ic_amps": jnp.asarray(amps, dtype=dtype),
             }
         else:
-            coeffs = sample_ic_coeffs(key, n, c.bc, dtype=jnp.float64)
-            at_points = (
-                lower_ic_at_points if c.bc == "lower" else channel_ic_at_points
-            )
-            u_init = self._project_velocity_ic(lambda xq: at_points(coeffs, xq))
-            batch = {"ic_coeffs": coeffs.astype(dtype)}
-        batch["u_init"] = u_init.astype(dtype)
-        batch["u_init64"] = u_init
+            coeffs = sample_ic_coeffs(key, n, c.bc)
+            batch = {"ic_coeffs": jnp.asarray(coeffs, dtype=dtype)}
+        batch["u_init"] = jnp.asarray(self.u_init64(batch), dtype=dtype)
         return batch
 
     # ------------------------------------------------------------------
@@ -391,11 +418,13 @@ class Problem:
         return pred @ self.precond.T
 
     # ------------------------------------------------------------------
-    # ground truth
+    # ground truth (host float64 — the create_data.py replacement)
     # ------------------------------------------------------------------
 
-    def ground_truth(self, batch: dict[str, Array], n_steps: int | None = None) -> Array:
-        """Reference solutions in f64 (the create_data.py replacement).
+    def ground_truth(
+        self, batch: dict[str, Array], n_steps: int | None = None
+    ) -> np.ndarray:
+        """Reference solutions in float64 (host numpy, backend-independent).
 
         steady linear -> (B, ng); steady_ns -> (B, ng) via Newton;
         timedep -> (B, n_steps+1, ng) implicit-Euler trajectories.
@@ -403,43 +432,46 @@ class Problem:
         c = self.config
         if c.name in _TIMEDEP:
             T = int(round(1.0 / c.dt)) if n_steps is None else n_steps
-            u0 = batch.get("u_init64", batch["u_init"]).astype(jnp.float64)
+            u0 = self.u_init64(batch)
             if c.name == "timedep_ns":
                 from ..linalg.solvers import semi_implicit_ns_rollout
 
                 return semi_implicit_ns_rollout(
                     self.S64, self.A64, u0, self.load_const64, c.dt, T,
-                    self._conv_fn, jnp.asarray(self.bc.mask),
+                    self._conv_fn, self.bc.mask,
                 )
             return implicit_euler_rollout(
-                self.S64,
-                self.A64,
-                u0,
-                self.load_const64,
-                c.dt,
-                T,
+                self.S64, self.A64, u0, self.load_const64, c.dt, T
             )
-        load64 = batch["load"].astype(jnp.float64)
+        load64 = self.load64(batch)
         if c.name == "steady_ns":
             u, rel, _ = self._solve_ns_batch(load64)
             return u
         return solve_dense_batched(self.A64, load64)
 
-    def _solve_ns_batch(self, load64: Array) -> tuple[Array, Array, Array]:
+    def _solve_ns_batch(
+        self, load64: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Newton-solve a batch of NS loads; returns (u, rel_res, iters)."""
-        mask64 = jnp.asarray(self.bc.mask)
+        mask64 = np.asarray(self.bc.mask, dtype=np.float64)
         if self.config.ns_truth == "group":
-            solve_one = lambda f: newton_solve_ns(
-                self.A64, self.B1_64, self.B2_64, f, self.n2,
-                conv_row_mask=mask64,
-            )
+            def solve_one(f):
+                return newton_solve_ns(
+                    self.A64, self.B1_64, self.B2_64, f, self.n2,
+                    conv_row_mask=mask64,
+                )
         else:
             from ..linalg.newton import newton_solve_weak
 
-            solve_one = lambda f: newton_solve_weak(
-                self.A_truth64, self._conv_fn, self._jac_fn, f, mask64
-            )
-        return jax.lax.map(solve_one, load64)
+            def solve_one(f):
+                return newton_solve_weak(
+                    self.A_truth64, self._conv_fn, self._jac_fn, f, mask64
+                )
+        out = [solve_one(f) for f in np.asarray(load64, dtype=np.float64)]
+        us = np.stack([o[0] for o in out])
+        rels = np.asarray([o[1] for o in out])
+        its = np.asarray([o[2] for o in out])
+        return us, rels, its
 
     def sample_converged(
         self,
@@ -447,7 +479,7 @@ class Problem:
         n: int,
         tol: float = 1e-9,
         max_rounds: int = 20,
-    ) -> tuple[dict[str, Array], Array]:
+    ) -> tuple[dict[str, Array], np.ndarray]:
         """Sample n problem instances whose ground truth converges.
 
         For steady_ns this is the reference's resample-on-Newton-failure loop
@@ -463,7 +495,7 @@ class Problem:
             return batch, self.ground_truth(batch, **kw)
 
         kept_batches: list[dict[str, Array]] = []
-        kept_truth: list[Array] = []
+        kept_truth: list[np.ndarray] = []
         kept = 0
         for _ in range(max_rounds):
             need = n - kept
@@ -471,7 +503,7 @@ class Problem:
                 break
             key, sub = jax.random.split(key)
             batch = self.sample_batch(sub, need)
-            u, rel, _ = self._solve_ns_batch(batch["load"].astype(jnp.float64))
+            u, rel, _ = self._solve_ns_batch(self.load64(batch))
             ok = np.asarray(rel) < tol
             if ok.any():
                 idx = np.nonzero(ok)[0]
@@ -486,7 +518,7 @@ class Problem:
             k: jnp.concatenate([b[k] for b in kept_batches])[:n]
             for k in kept_batches[0]
         }
-        return batch, jnp.concatenate(kept_truth)[:n]
+        return batch, np.concatenate(kept_truth)[:n]
 
 
 def build_problem(config: ProblemConfig) -> Problem:

@@ -19,12 +19,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
 
+def _xp(x):
+    """Array namespace: jnp for device arrays/tracers, numpy for host f64."""
+    return jnp if isinstance(x, jax.Array) else np
+
+
 def sample_sincos_coeffs(key: Array, n: int, dtype=jnp.float32) -> Array:
-    """(n, 6) coefficient vectors [m0, m1, n0, n1, n2, n3]."""
+    """(n, 6) coefficient vectors [m0, m1, n0, n1, n2, n3].
+
+    float32 draws by default: jax.random is backend-deterministic at f32,
+    and widening to float64 for host-side load assembly is exact.
+    """
     k1, k2 = jax.random.split(key)
     m = jax.random.uniform(k1, (n, 2), dtype=dtype)
     nfreq = jnp.pi * jax.random.uniform(k2, (n, 4), dtype=dtype)
@@ -36,18 +46,21 @@ def sincos_at_points(
 ) -> Array:
     """Evaluate the forcing at arbitrary points.
 
-    coeffs: (B, 6); xy: (..., 2). Returns (B, ..., 2).
+    coeffs: (B, 6); xy: (..., 2). Returns (B, ..., 2). Works in both worlds:
+    jnp under jit (grid featurization) and numpy float64 on the host
+    (quadrature-point evaluation for load assembly).
     """
+    xp = _xp(coeffs)
     x, y = xy[..., 0], xy[..., 1]
     extra = (1,) * x.ndim
     m0, m1, n0, n1, n2, n3 = (coeffs[:, i].reshape(-1, *extra) for i in range(6))
-    s = jnp.sin(n0 * x[None] + n1 * y[None])
-    c = jnp.cos(n2 * x[None] + n3 * y[None])
+    s = xp.sin(n0 * x[None] + n1 * y[None])
+    c = xp.cos(n2 * x[None] + n3 * y[None])
     if validate_form:
         f1, f2 = m0 + s, m1 + c
     else:
         f1, f2 = m0 * s, m1 * c
-    return jnp.stack([f1, f2], axis=-1)
+    return xp.stack([f1, f2], axis=-1)
 
 
 def input_grid_points(resol: int, lo: float = -1.0, hi: float = 1.0) -> Array:
@@ -67,4 +80,4 @@ def sincos_on_grid(
     Same values as the reference's (B, 2, R, R) NCHW `value_f`, channels last.
     """
     xy = input_grid_points(resol)
-    return sincos_at_points(coeffs, xy, validate_form=validate_form)
+    return sincos_at_points(jnp.asarray(coeffs), xy, validate_form=validate_form)

@@ -25,10 +25,13 @@ import numpy as np
 Array = jax.Array
 
 
-def rbf_kernel(coords: Array, length_scale: float = 2.0, variance: float = 1.0) -> Array:
-    """K[i,j] = variance * exp(-|xi-xj|^2 / (2 l^2))."""
-    d2 = jnp.sum((coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
-    return variance * jnp.exp(-0.5 * d2 / (length_scale**2))
+def rbf_kernel(
+    coords: Array, length_scale: float = 2.0, variance: float = 1.0
+) -> np.ndarray:
+    """K[i,j] = variance * exp(-|xi-xj|^2 / (2 l^2)) — host float64."""
+    c = np.asarray(coords, dtype=np.float64)
+    d2 = np.sum((c[:, None, :] - c[None, :, :]) ** 2, axis=-1)
+    return variance * np.exp(-0.5 * d2 / (length_scale**2))
 
 
 def grf_cholesky(
@@ -36,26 +39,35 @@ def grf_cholesky(
     length_scale: float = 2.0,
     variance: float = 1.0,
     jitter: float = 1e-8,
-) -> Array:
+) -> np.ndarray:
     """Lower-triangular Cholesky factor of the jittered RBF kernel.
 
-    Computed in float64 for stability (the kernel is nearly singular at the
-    reference's l=2 on a [-1,1]^2 domain), returned as float64; cast at use.
+    Host numpy float64 unconditionally: the kernel is nearly singular at the
+    reference's l=2 on a [-1,1]^2 domain — f32 Cholesky fails — and this is
+    setup-time work (once per mesh; see fem/assemble.py placement rationale).
     """
-    c = jnp.asarray(coords, dtype=jnp.float64)
-    K = rbf_kernel(c, length_scale, variance) + jitter * jnp.eye(c.shape[0], dtype=c.dtype)
-    return jnp.linalg.cholesky(K)
+    c = np.asarray(coords, dtype=np.float64)
+    K = rbf_kernel(c, length_scale, variance) + jitter * np.eye(c.shape[0])
+    return np.linalg.cholesky(K)
 
 
-def sample_grf(key: Array, chol: Array, n_samples: int, dtype=jnp.float32) -> tuple[Array, Array]:
+def sample_grf(
+    key: Array, chol: Array, n_samples: int, dtype=np.float64
+) -> tuple[np.ndarray, np.ndarray]:
     """Two independent GRF batches (u_x, u_y), each (n_samples, n_dofs).
 
     Matches ``generate_grf_sample`` semantics (L @ standard normal per
     component; reference: FEONet-square-with-hole/assemble_fenics.py:28-36).
+    Draws come from jax.random (backend-deterministic threefry, float32 —
+    exact when widened); the correlation transform runs in host float64.
     """
+    chol = np.asarray(chol, dtype=np.float64)
     n = chol.shape[0]
-    z = jax.random.normal(key, (2, n_samples, n), dtype=chol.dtype)
-    fields = jnp.einsum("ij,kbj->kbi", chol, z)
+    z = np.asarray(
+        jax.random.normal(key, (2, n_samples, n), dtype=jnp.float32),
+        dtype=np.float64,
+    )
+    fields = np.einsum("ij,kbj->kbi", chol, z)
     return fields[0].astype(dtype), fields[1].astype(dtype)
 
 

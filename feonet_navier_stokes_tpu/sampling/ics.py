@@ -25,8 +25,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .forcing import input_grid_points
+from .forcing import input_grid_points, _xp
 
 Array = jax.Array
 
@@ -60,8 +61,8 @@ def sample_stream_ic_modes(
     k1, k2, k3 = jax.random.split(key, 3)
     ks = jax.random.randint(k1, (n, n_modes), 1, kmax + 1)
     ls = jax.random.randint(k2, (n, n_modes), 1, lmax + 1)
-    scales = (ks.astype(jnp.float64) ** 2 + ls.astype(jnp.float64) ** 2) ** -0.5
-    amps = amp * jax.random.normal(k3, (n, n_modes), dtype=jnp.float64) * scales
+    scales = (ks.astype(jnp.float32) ** 2 + ls.astype(jnp.float32) ** 2) ** -0.5
+    amps = amp * jax.random.normal(k3, (n, n_modes), dtype=jnp.float32) * scales
     return ks, ls, amps
 
 
@@ -72,12 +73,13 @@ def sample_stream_ic_modes(
 
 def lower_ic_at_points(coeffs: Array, xy: Array) -> Array:
     """coeffs (B,4)=[m0,n0,m1,n1]; xy (...,2) -> (B,...,2)."""
+    xp = _xp(coeffs)
     x, y = xy[..., 0], xy[..., 1]
     extra = (1,) * x.ndim
     m0, n0, m1, n1 = (coeffs[:, i].reshape(-1, *extra) for i in range(4))
-    u1 = -5.0 + m0 * jnp.sin(n0 * x[None]) * jnp.sin(y[None])
-    u2 = m1 * jnp.cos(n1 * x[None]) * jnp.sin(y[None])
-    return jnp.stack([u1, u2], axis=-1)
+    u1 = -5.0 + m0 * xp.sin(n0 * x[None]) * xp.sin(y[None])
+    u2 = m1 * xp.cos(n1 * x[None]) * xp.sin(y[None])
+    return xp.stack([u1, u2], axis=-1)
 
 
 def channel_ic_at_points(coeffs: Array, xy: Array) -> Array:
@@ -86,12 +88,13 @@ def channel_ic_at_points(coeffs: Array, xy: Array) -> Array:
     (reference: assemble_fenics.py:189 — '0.1*m0*(1-y)*y',
     '0.01*m1*sin(pi*x)*(1-y)*y').
     """
+    xp = _xp(coeffs)
     x, y = xy[..., 0], xy[..., 1]
     extra = (1,) * x.ndim
     m0, m1 = (coeffs[:, i].reshape(-1, *extra) for i in range(2))
     u1 = 0.1 * m0 * (1.0 - y[None]) * y[None]
-    u2 = 0.01 * m1 * jnp.sin(jnp.pi * x[None]) * (1.0 - y[None]) * y[None]
-    return jnp.stack([u1, u2], axis=-1)
+    u2 = 0.01 * m1 * xp.sin(xp.pi * x[None]) * (1.0 - y[None]) * y[None]
+    return xp.stack([u1, u2], axis=-1)
 
 
 def stream_ic_at_points(ks: Array, ls: Array, amps: Array, xy: Array) -> Array:
@@ -100,17 +103,18 @@ def stream_ic_at_points(ks: Array, ls: Array, amps: Array, xy: Array) -> Array:
     ks, ls, amps: (B, n_modes); xy: (..., 2). Returns (B, ..., 2) with
     u = (d psi/dy, -d psi/dx), psi = sum a sin^2(k pi x) sin^2(l pi y).
     """
+    xp = _xp(amps)
     x, y = xy[..., 0], xy[..., 1]
     extra = (1,) * x.ndim
-    k = ks.astype(amps.dtype).reshape(*ks.shape, *extra)  # (B, M, ...)
-    l_ = ls.astype(amps.dtype).reshape(*ls.shape, *extra)
+    k = xp.asarray(ks).astype(amps.dtype).reshape(*ks.shape, *extra)  # (B, M, ...)
+    l_ = xp.asarray(ls).astype(amps.dtype).reshape(*ls.shape, *extra)
     a = amps.reshape(*amps.shape, *extra)
     xb, yb = x[None, None], y[None, None]
-    sx, cx = jnp.sin(k * jnp.pi * xb), jnp.cos(k * jnp.pi * xb)
-    sy, cy = jnp.sin(l_ * jnp.pi * yb), jnp.cos(l_ * jnp.pi * yb)
-    ux = jnp.sum(a * 2.0 * sx * sx * sy * cy * l_ * jnp.pi, axis=1)
-    uy = jnp.sum(a * (-2.0) * sx * cx * sy * sy * k * jnp.pi, axis=1)
-    return jnp.stack([ux, uy], axis=-1)
+    sx, cx = xp.sin(k * xp.pi * xb), xp.cos(k * xp.pi * xb)
+    sy, cy = xp.sin(l_ * xp.pi * yb), xp.cos(l_ * xp.pi * yb)
+    ux = xp.sum(a * 2.0 * sx * sx * sy * cy * l_ * xp.pi, axis=1)
+    uy = xp.sum(a * (-2.0) * sx * cx * sy * sy * k * xp.pi, axis=1)
+    return xp.stack([ux, uy], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -120,8 +124,8 @@ def stream_ic_at_points(ks: Array, ls: Array, amps: Array, xy: Array) -> Array:
 
 def lower_ic_on_grid(coeffs: Array, resol: int = 64) -> Array:
     """(B, resol, resol, 2) NHWC input for UNet2D/UNetTemporal models."""
-    return lower_ic_at_points(coeffs, input_grid_points(resol))
+    return lower_ic_at_points(jnp.asarray(coeffs), input_grid_points(resol))
 
 
 def channel_ic_on_grid(coeffs: Array, resol: int = 64) -> Array:
-    return channel_ic_at_points(coeffs, input_grid_points(resol))
+    return channel_ic_at_points(jnp.asarray(coeffs), input_grid_points(resol))

@@ -17,7 +17,7 @@ def test_stokes_square_end_to_end(square_problem):
     p = square_problem
     b = p.sample_batch(jax.random.PRNGKey(0), 4)
     gt = p.ground_truth(b)
-    resid = gt @ p.A64.T - b["load"].astype(jnp.float64)
+    resid = gt @ p.A64.T - p.load64(b)
     assert float(jnp.max(jnp.abs(resid))) < 1e-10
     x = p.model_input(b, "UNetWithHead")
     assert x.shape == (4, 20, 20, 2)
@@ -49,7 +49,7 @@ def test_stokes_hole_builds_and_solves():
     b = p.sample_batch(jax.random.PRNGKey(0), 3)
     assert "grf_ux" in b and b["load"].shape == (3, p.ng)
     gt = p.ground_truth(b)
-    resid = gt @ p.A64.T - b["load"].astype(jnp.float64)
+    resid = gt @ p.A64.T - p.load64(b)
     assert float(jnp.max(jnp.abs(resid))) < 1e-8
     x = p.model_input(b, "Net2D")
     assert x.shape == (3, 16, 16, 2)
@@ -66,10 +66,10 @@ def test_ns_resampling_pipeline():
     resid = (
         truth @ p.A_truth64.T
         + keep * p._conv_fn(truth)
-        - batch["load"].astype(jnp.float64)
+        - p.load64(batch)
     )
     rel = jnp.linalg.norm(resid, axis=1) / jnp.linalg.norm(
-        batch["load"].astype(jnp.float64), axis=1
+        p.load64(batch), axis=1
     )
     assert float(jnp.max(rel)) < 1e-9
 
@@ -85,11 +85,11 @@ def test_group_vs_weak_truth_gap():
     batch, truth = p.sample_converged(jax.random.PRNGKey(1), 2)
     mask = jnp.asarray(p.bc.mask)
     r = ns_residual(
-        truth, p.A64, p.B1_64, p.B2_64, batch["load"].astype(jnp.float64),
+        truth, p.A64, p.B1_64, p.B2_64, p.load64(batch),
         p.n2, conv_row_mask=mask,
     )
     rel = jnp.linalg.norm(r, axis=1) / jnp.linalg.norm(
-        batch["load"].astype(jnp.float64), axis=1
+        p.load64(batch), axis=1
     )
     # weak solution is NOT an exact group-FEM solution, but close (same order
     # as the reference's 1.7e-3 floor)

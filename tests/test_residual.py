@@ -70,12 +70,12 @@ def test_rollout_residual_zero_at_exact_rollout():
     traj = p.ground_truth(b, n_steps=4)  # (B, 5, ng) includes u0
     loss = rollout_residual(
         traj[:, 1:], p.S64, p.sys64, p.load_const64, p.config.dt,
-        b["u_init64"],
+        p.u_init64(b),
     )
     # scale-relative: compare against the loss of a perturbed trajectory
     loss_bad = rollout_residual(
         traj[:, 1:] * 1.01, p.S64, p.sys64, p.load_const64, p.config.dt,
-        b["u_init64"],
+        p.u_init64(b),
     )
     assert float(loss) < 1e-12 * float(loss_bad)
 

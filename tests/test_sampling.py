@@ -121,15 +121,17 @@ def test_lower_and_channel_ic_values():
 
 def test_stream_ic_divergence_free_and_noslip():
     ks, ls, amps = sample_stream_ic_modes(jax.random.PRNGKey(6), 2)
+    # evaluate on the host float64 path (the projection/ground-truth contract)
+    ks, ls = np.asarray(ks), np.asarray(ls)
+    amps = np.asarray(amps, dtype=np.float64)
     # no-slip: u = 0 on the boundary of [0,1]^2
-    bdry = jnp.array([[0.0, 0.3], [1.0, 0.7], [0.5, 0.0], [0.2, 1.0]])
+    bdry = np.array([[0.0, 0.3], [1.0, 0.7], [0.5, 0.0], [0.2, 1.0]])
     u_b = np.asarray(stream_ic_at_points(ks, ls, amps, bdry))
     np.testing.assert_allclose(u_b, 0.0, atol=1e-10)
     # divergence-free: finite-difference div at interior points
     h = 1e-5
-    p0 = jnp.array([[0.37, 0.53]])
-    px = jnp.array([[0.37 + h, 0.53], [0.37 - h, 0.53]])
-    py = jnp.array([[0.37, 0.53 + h], [0.37, 0.53 - h]])
+    px = np.array([[0.37 + h, 0.53], [0.37 - h, 0.53]])
+    py = np.array([[0.37, 0.53 + h], [0.37, 0.53 - h]])
     ux = np.asarray(stream_ic_at_points(ks, ls, amps, px))[0]
     uy = np.asarray(stream_ic_at_points(ks, ls, amps, py))[0]
     div = (ux[0, 0] - ux[1, 0]) / (2 * h) + (uy[0, 1] - uy[1, 1]) / (2 * h)
