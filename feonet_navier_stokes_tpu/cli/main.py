@@ -115,7 +115,12 @@ def cmd_train(args) -> int:
     trainer = Trainer(problem, tc)
     print(f"model={args.model} params={trainer.n_params:,} ng={problem.ng} "
           f"devices={len(__import__('jax').devices())}")
-    if args.init_from:
+    if args.resume and args.ckpt_dir:
+        latest = Trainer.latest_checkpoint(args.ckpt_dir)
+        if latest:
+            trainer.load_checkpoint(latest)
+            print(f"resumed from {latest} (step {int(trainer.state.step)})")
+    elif args.init_from:
         trainer.load_checkpoint(args.init_from)
         print(f"warm-started from {args.init_from}")
     train_ds, val_ds = trainer.make_datasets()
@@ -126,6 +131,8 @@ def cmd_train(args) -> int:
 
 
 def cmd_eval(args) -> int:
+    import numpy as np
+
     from ..train import Trainer, TrainConfig
 
     problem = _build_problem(args)
@@ -135,6 +142,23 @@ def cmd_eval(args) -> int:
     _, val_ds = trainer.make_datasets()
     metrics = trainer.evaluate(val_ds)
     print(json.dumps(metrics))
+    if args.plot:
+        from ..viz import tricontourf_compare
+
+        pred = np.asarray(trainer._eval_forward(trainer.state, val_ds.batch))
+        truth = np.asarray(val_ds.truth)
+        if truth.ndim == 3:  # time-dependent: plot the final step
+            pred, truth = pred[:, -1], truth[:, pred.shape[1]]
+        path = tricontourf_compare(
+            problem,
+            pred[args.plot_sample],
+            truth[args.plot_sample],
+            component=args.plot_component,
+            out_path=args.plot,
+            title=f"{problem.config.name} / {problem.config.bc} "
+                  f"(val sample {args.plot_sample})",
+        )
+        print(f"plot -> {path}")
     return 0
 
 
@@ -177,6 +201,8 @@ def main(argv=None) -> int:
     t.add_argument("--log", default=None)
     t.add_argument("--init-from", default=None,
                    help="checkpoint path for warm start (reference NS<-Stokes)")
+    t.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt-dir")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="evaluate a checkpoint")
@@ -184,6 +210,12 @@ def main(argv=None) -> int:
     e.add_argument("--model", default="UNetWithHead")
     e.add_argument("--ckpt", required=True)
     e.add_argument("--num-val", type=int, default=1000)
+    e.add_argument("--plot", default=None, metavar="PNG",
+                   help="save a (prediction | reference | abs error) "
+                        "tricontourf comparison")
+    e.add_argument("--plot-component", default="u1",
+                   choices=["u1", "u2", "p", "speed"])
+    e.add_argument("--plot-sample", type=int, default=0)
     e.set_defaults(fn=cmd_eval)
 
     b = sub.add_parser("bench", help="run the benchmark harness")

@@ -38,12 +38,46 @@ def test_training_reduces_loss(small_square):
     assert np.isfinite(hist[-1]["coeff"])
 
 
-def test_training_on_8_device_mesh(small_square):
-    """Data-parallel over the virtual 8-CPU mesh produces the same loss
-    trajectory shape and finite grads."""
+def test_data_parallel_matches_single_device(small_square):
+    """The DP correctness property: the 8-device sharded train step produces
+    the SAME loss and updated params as the single-device step (same seed,
+    same batch) — XLA's psum over 'data' must be numerically equivalent to
+    the unsharded reduction (up to f32 reassociation)."""
     assert len(jax.devices()) == 8
+    tc_kw = dict(
+        model="FCNN", lr=1e-3, epochs=1, num_train=32, num_val=8,
+        eval_every=1, model_kwargs={"hidden_dims": (8, 8)}, seed=7,
+    )
+    tr1 = Trainer(small_square, TrainConfig(data_parallel=False, **tc_kw))
+    tr8 = Trainer(small_square, TrainConfig(data_parallel=True, **tc_kw))
+    assert tr1.mesh is None and tr8.mesh is not None
+
+    batch = small_square.sample_batch(jax.random.PRNGKey(42), 32)
+    from feonet_navier_stokes_tpu.parallel import shard_batch
+
+    rng = jax.random.PRNGKey(3)
+    losses = {}
+    states = {}
+    for name, tr, b in (
+        ("single", tr1, batch),
+        ("sharded", tr8, shard_batch(batch, tr8.mesh)),
+    ):
+        state = tr.state
+        for _ in range(3):
+            state, loss = tr._train_step(state, b, rng)
+        losses[name] = float(loss)
+        states[name] = jax.device_get(state.params)
+
+    np.testing.assert_allclose(losses["sharded"], losses["single"], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(states["single"]), jax.tree.leaves(states["sharded"])):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_training_on_8_device_mesh(small_square):
+    """End-to-end fit() over the virtual 8-CPU mesh stays finite (and pads a
+    batch size not divisible by the device count)."""
     tc = TrainConfig(
-        model="FCNN", lr=1e-3, epochs=20, num_train=32, num_val=8,
+        model="FCNN", lr=1e-3, epochs=20, num_train=30, num_val=8,
         eval_every=10, model_kwargs={"hidden_dims": (8, 8)},
     )
     tr = Trainer(small_square, tc)

@@ -4,15 +4,12 @@ Target (BASELINE.md row 1): steady Stokes square, ne=72, channel_flow BC,
 UNetWithHead + SPAI(20000), 1000 train / 1000 validate samples, 80k epochs ->
 rel-L2 u1/u2/p/coeff = 0.0090 / 0.0132 / 0.0013 / 0.0050.
 
-Two phases because f64 linear algebra belongs on the CPU backend while
-training belongs on the TPU (f64 LU does not compile on TPU):
+Both phases run in ONE process on any backend — assembly/SPAI/ground truth
+are host float64 unconditionally (see fem/assemble.py), training runs on the
+device in f32:
 
-  phase A (CPU, x64):  JAX_PLATFORM_NAME=cpu python tools/parity_run.py prepare
-      assembles operators in f64, runs SPAI(20000), solves the 2000 reference
-      solutions, saves everything to artifacts npz.
-  phase B (TPU, f32):  python tools/parity_run.py train --epochs 80000
-      loads the artifacts, trains UNetWithHead on the preconditioned residual,
-      reports the rel-L2 table.
+  python tools/parity_run.py prepare           # f64 artifacts (any backend)
+  python tools/parity_run.py train --epochs 80000   # TPU training + rel-L2
 """
 
 from __future__ import annotations
@@ -42,11 +39,6 @@ def _problem(precond_iters: int = 0):
 def cmd_prepare(args) -> int:
     import jax
 
-    # JAX_PLATFORMS env is ignored under the axon TPU terminal (the plugin
-    # re-registers); jax.config is authoritative (see .claude/skills/verify).
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
-    assert jax.default_backend() == "cpu"
     t0 = time.time()
     p = _problem(precond_iters=args.spai_iters)
     from feonet_navier_stokes_tpu.linalg import condition_number
