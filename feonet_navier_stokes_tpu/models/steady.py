@@ -23,6 +23,8 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .init import conv_inits, conv_transpose_inits, dense_inits
+
 Array = jnp.ndarray
 
 
@@ -39,12 +41,15 @@ class Net2D(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         k = (self.kernel_size, self.kernel_size)
         x = x.astype(self.compute_dtype)
-        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                            **conv_inits(x, k))(x))
         for _ in range(self.blocks):
-            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
-        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x)
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                                **conv_inits(x, k))(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                    **conv_inits(x, k))(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
 class NetA(nn.Module):
@@ -61,12 +66,15 @@ class NetA(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         k = (self.kernel_size,)
         x = x.astype(self.compute_dtype)
-        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                            **conv_inits(x, k))(x))
         for _ in range(self.blocks):
-            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
-        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x)
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                                **conv_inits(x, k))(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                    **conv_inits(x, k))(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
 class Net3D(nn.Module):
@@ -83,12 +91,15 @@ class Net3D(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         k = (self.kernel_size,) * 3
         x = x.astype(self.compute_dtype)
-        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                            **conv_inits(x, k))(x))
         for _ in range(self.blocks):
-            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x))
-        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype)(x)
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                                **conv_inits(x, k))(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
+                    **conv_inits(x, k))(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
 class FCNN(nn.Module):
@@ -107,9 +118,10 @@ class FCNN(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = x.astype(self.compute_dtype)
         for h in self.hidden_dims:
-            x = jnp.tanh(nn.Dense(h, dtype=self.compute_dtype)(x))
+            x = jnp.tanh(nn.Dense(h, dtype=self.compute_dtype, **dense_inits(x))(x))
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.d_out, dtype=jnp.float32)(x.astype(jnp.float32))
+        x = x.astype(jnp.float32)
+        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
 class ConvBNAct(nn.Module):
@@ -122,6 +134,7 @@ class ConvBNAct(nn.Module):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), padding="SAME",
             dtype=self.compute_dtype,
+            **conv_inits(x, (self.kernel, self.kernel)),
         )(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
         return nn.silu(x)
@@ -152,11 +165,13 @@ class UNetFeatureExtractor(nn.Module):
         e2 = DoubleConv(self.base_ch * 2, cd)(nn.max_pool(e1, (2, 2), (2, 2)), train)
         b = DoubleConv(self.base_ch * 4, cd)(nn.max_pool(e2, (2, 2), (2, 2)), train)
 
-        d2 = nn.ConvTranspose(self.base_ch * 2, (2, 2), (2, 2), dtype=cd)(b)
+        d2 = nn.ConvTranspose(self.base_ch * 2, (2, 2), (2, 2), dtype=cd,
+                              **conv_transpose_inits(self.base_ch * 2, (2, 2)))(b)
         d2 = DoubleConv(self.base_ch * 2, cd)(jnp.concatenate([d2, e2], -1), train)
-        d1 = nn.ConvTranspose(self.base_ch, (2, 2), (2, 2), dtype=cd)(d2)
+        d1 = nn.ConvTranspose(self.base_ch, (2, 2), (2, 2), dtype=cd,
+                              **conv_transpose_inits(self.base_ch, (2, 2)))(d2)
         d1 = DoubleConv(self.base_ch, cd)(jnp.concatenate([d1, e1], -1), train)
-        return nn.Conv(self.latent_ch, (1, 1), dtype=cd)(d1)
+        return nn.Conv(self.latent_ch, (1, 1), dtype=cd, **conv_inits(d1, (1, 1)))(d1)
 
 
 class UNetHead(nn.Module):
@@ -172,12 +187,14 @@ class UNetHead(nn.Module):
     def __call__(self, x: Array) -> Array:
         k = (self.kernel_size, self.kernel_size)
         cd = self.compute_dtype
-        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd)(x))
+        x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd,
+                            **conv_inits(x, k))(x))
         for _ in range(self.blocks):
-            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd)(x))
-        x = nn.Conv(self.filters, k, padding="SAME", dtype=cd)(x)
+            x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd,
+                                **conv_inits(x, k))(x))
+        x = nn.Conv(self.filters, k, padding="SAME", dtype=cd, **conv_inits(x, k))(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        return nn.Dense(self.d_out, dtype=jnp.float32)(x)
+        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
 class UNetWithHead(nn.Module):

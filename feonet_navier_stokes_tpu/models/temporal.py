@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .init import conv_inits, dense_inits
 from .steady import UNetFeatureExtractor, DoubleConv
 
 Array = jnp.ndarray
@@ -56,10 +57,10 @@ class UNet2DTemporalRepeat(nn.Module):
         latent = UNetFeatureExtractor(self.base_ch, self.latent_ch, self.compute_dtype)(
             x, train
         )  # (B, H, W, d)
-        g = latent.mean(axis=(1, 2))  # AdaptiveAvgPool2d(1)
-        h = nn.silu(nn.Dense(self.hidden)(g.astype(jnp.float32)))
+        g = latent.mean(axis=(1, 2)).astype(jnp.float32)  # AdaptiveAvgPool2d(1)
+        h = nn.silu(nn.Dense(self.hidden, **dense_inits(g))(g))
         h = jnp.repeat(h[:, None, :], self.seq_len, axis=1)  # (B, T, hidden)
-        return nn.Dense(self.d_out)(h)
+        return nn.Dense(self.d_out, **dense_inits(h))(h)
 
 
 class UNetTemporal(nn.Module):
@@ -81,10 +82,10 @@ class UNetTemporal(nn.Module):
             x, train
         )
         g = latent.mean(axis=(1, 2)).astype(jnp.float32)
-        h = jnp.tanh(nn.Dense(self.hidden)(g))
+        h = jnp.tanh(nn.Dense(self.hidden, **dense_inits(g))(g))
         seq_in = jnp.repeat(h[:, None, :], self.seq_len, axis=1)
         out = nn.RNN(_cell(self.rnn_type, self.hidden))(seq_in)  # (B, T, hidden)
-        return nn.Dense(self.d_out)(out)
+        return nn.Dense(self.d_out, **dense_inits(out))(out)
 
 
 class ConvBNAct1D(nn.Module):
@@ -93,7 +94,8 @@ class ConvBNAct1D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
-        x = nn.Conv(self.features, (3,), padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.Conv(self.features, (3,), padding="SAME", dtype=self.compute_dtype,
+                    **conv_inits(x, (3,)))(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
         return nn.silu(x)
 
@@ -141,15 +143,19 @@ class UNet1D(nn.Module):
         d2 = DoubleConv1D(self.base_ch * 2, cd)(jnp.concatenate([d2, e2], -1), train)
         d1 = _interp_linear(d2, e1.shape[1])
         d1 = DoubleConv1D(self.base_ch, cd)(jnp.concatenate([d1, e1], -1), train)
-        latent = nn.Conv(self.latent_ch, (1,), dtype=cd)(d1)  # (B, N, latent)
+        latent = nn.Conv(self.latent_ch, (1,), dtype=cd, **conv_inits(d1, (1,)))(d1)  # (B, N, latent)
 
         # head: conv stack then a REAL hidden->seq_len parameter (fixes the
         # reference's Linear-inside-forward bug, network.py:306).
-        h = nn.silu(nn.Conv(self.hidden, (self.head_kernel,), padding="SAME", dtype=cd)(latent))
+        k1 = (self.head_kernel,)
+        h = nn.silu(nn.Conv(self.hidden, k1, padding="SAME", dtype=cd,
+                            **conv_inits(latent, k1))(latent))
         for _ in range(self.head_blocks):
-            h = nn.silu(nn.Conv(self.hidden, (self.head_kernel,), padding="SAME", dtype=cd)(h))
-        h = nn.Conv(self.hidden, (self.head_kernel,), padding="SAME", dtype=cd)(h)
-        out = nn.Dense(self.seq_len)(h.astype(jnp.float32))  # (B, N, T)
+            h = nn.silu(nn.Conv(self.hidden, k1, padding="SAME", dtype=cd,
+                                **conv_inits(h, k1))(h))
+        h = nn.Conv(self.hidden, k1, padding="SAME", dtype=cd, **conv_inits(h, k1))(h)
+        h = h.astype(jnp.float32)
+        out = nn.Dense(self.seq_len, **dense_inits(h))(h)  # (B, N, T)
         return jnp.swapaxes(out, 1, 2)  # (B, T, N)
 
 
@@ -164,7 +170,7 @@ class _ARStep(nn.Module):
     def __call__(self, carry, _):
         rnn_carry, prev_vec = carry
         new_carry, h = _cell(self.rnn_type, self.hidden)(rnn_carry, prev_vec)
-        vec = nn.Dense(self.d_out)(h)
+        vec = nn.Dense(self.d_out, **dense_inits(h))(h)
         return (new_carry, vec), vec
 
 
@@ -182,7 +188,8 @@ class CoeffRNN(nn.Module):
     @nn.compact
     def __call__(self, u0: Array, train: bool = False) -> Array:
         B = u0.shape[0]
-        h0 = jnp.tanh(nn.Dense(self.hidden)(u0.astype(jnp.float32)))
+        u0 = u0.astype(jnp.float32)
+        h0 = jnp.tanh(nn.Dense(self.hidden, **dense_inits(u0))(u0))
         if self.rnn_type.lower() == "lstm":
             carry0 = (jnp.zeros_like(h0), h0)  # flax LSTM carry = (c, h)
         else:

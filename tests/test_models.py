@@ -87,3 +87,24 @@ def test_rnn_autoregressive_depends_on_input():
     o1 = m.apply(vs, x1, train=False)
     o2 = m.apply(vs, x2, train=False)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_torch_default_init_distribution():
+    """C19: params are initialized with torch's defaults — kernel AND bias
+    ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (the reference's weights_init is a
+    no-op for 2D models, so torch defaults are what its models train from)."""
+    import jax
+    from feonet_navier_stokes_tpu.models import build_model
+
+    m = build_model("Net2D", d_out=50, filters=32, kernel_size=5)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 20, 2)), train=False)
+    k0 = v["params"]["Conv_0"]["kernel"]  # (5, 5, 2, 32)
+    b0 = v["params"]["Conv_0"]["bias"]
+    fan_in = 5 * 5 * 2
+    bound = 1.0 / np.sqrt(fan_in)
+    for arr in (np.asarray(k0), np.asarray(b0)):
+        assert np.abs(arr).max() <= bound + 1e-7
+    # uniform variance = bound^2/3; lecun-normal would be 3x larger for kernel
+    var = np.var(np.asarray(k0))
+    np.testing.assert_allclose(var, bound**2 / 3.0, rtol=0.15)
+    assert np.abs(np.asarray(b0)).max() > 0.0  # flax default bias is zeros

@@ -75,6 +75,12 @@ def cmd_train(args) -> int:
     p.set_precond(z["precond"])
     tc = TrainConfig(
         model="UNetWithHead",
+        # the reference's trained configuration: base_ch=32, latent_ch=64,
+        # head FILTERS=32, BLOCKS=0, ks=5 (train_FEONet.py:39-43,158-167)
+        model_kwargs={
+            "base_ch": 32, "latent_ch": 64, "head_filters": 32,
+            "head_blocks": 0, "head_kernel_size": 5,
+        },
         lr=args.lr,
         epochs=args.epochs,
         num_train=z["train_coeff_f"].shape[0],
