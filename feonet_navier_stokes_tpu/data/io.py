@@ -96,7 +96,3 @@ def export_reference_npz(
         payload["load_vector"] = np.asarray(problem.load_const64)
     np.savez(path, **payload)
 
-
-def load_reference_npz(path: str) -> dict:
-    with np.load(path, allow_pickle=True) as z:
-        return {k: z[k] for k in z.files}

@@ -54,7 +54,8 @@ def velocity_row_maps(n2: int, n1: int) -> tuple[np.ndarray, np.ndarray, np.ndar
 
 
 def masked_convection(
-    u: Array, B1: Array, B2: Array, n2: int, conv_row_mask: Array | None = None
+    u: Array, B1: Array, B2: Array, n2: int, conv_row_mask: Array | None = None,
+    precision=None,
 ) -> Array:
     """conv(u) for batched u of shape (..., ng) — jnp, device training path.
 
@@ -69,7 +70,9 @@ def masked_convection(
         [u[..., n2 : 2 * n2], u[..., n2 : 2 * n2], jnp.zeros_like(u[..., 2 * n2 :])],
         axis=-1,
     )
-    conv = d1 * (u @ B1.T) + d2 * (u @ B2.T)
+    conv = d1 * jnp.matmul(u, B1.T, precision=precision) + d2 * jnp.matmul(
+        u, B2.T, precision=precision
+    )
     if conv_row_mask is not None:
         conv = conv * (1.0 - conv_row_mask)
     return conv

@@ -415,7 +415,7 @@ class Problem:
         """Map network output to solution coefficients (apply SPAI M)."""
         if self.precond is None:
             return pred
-        return pred @ self.precond.T
+        return jnp.matmul(pred, self.precond.T, precision=jax.lax.Precision.HIGHEST)
 
     # ------------------------------------------------------------------
     # ground truth (host float64 — the create_data.py replacement)

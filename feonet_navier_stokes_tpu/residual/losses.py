@@ -28,6 +28,17 @@ from ..linalg.newton import masked_convection
 
 Array = jax.Array
 
+# Residual matmuls run at FULL float32 precision: on TPU the default matmul
+# precision decomposes f32 operands to bfloat16 passes, which floors the
+# achievable Galerkin residual (and therefore rel-L2) around 1e-3 — the
+# reference's cuBLAS runs true fp32. These (B, ng) @ (ng, ng) products are
+# tiny next to the model convs, so HIGHEST costs nothing measurable.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(x: Array, op_t: Array) -> Array:
+    return jnp.matmul(x, op_t, precision=_PREC)
+
 
 def sum_of_squares(resid: Array) -> Array:
     """Total sum of squares in float32-accumulated precision."""
@@ -41,7 +52,7 @@ def linear_residual(pred: Array, op: Array, rhs: Array) -> Array:
     (reference weak_form + closure: FEONet_Stokes_square/
     train_FEONet.py:259-296 — one einsum + one reduction here.)
     """
-    return sum_of_squares(pred @ op.T - rhs)
+    return sum_of_squares(_mm(pred, op.T) - rhs)
 
 
 def nonlinear_residual(
@@ -61,11 +72,11 @@ def nonlinear_residual(
     SPAI, pass op = A @ M; conv is evaluated on the RAW prediction (matching
     the reference, which applies the preconditioner on the linear term only).
     """
-    conv = masked_convection(pred, B1, B2, n2, conv_row_mask)
+    conv = masked_convection(pred, B1, B2, n2, conv_row_mask, precision=_PREC)
     if reference_sign_bug:
-        resid = pred @ op.T + rhs - conv
+        resid = _mm(pred, op.T) + rhs - conv
     else:
-        resid = pred @ op.T + conv - rhs
+        resid = _mm(pred, op.T) + conv - rhs
     return sum_of_squares(resid)
 
 
@@ -95,10 +106,10 @@ def rollout_residual(
     pred_seq: (B, T, ng); u_init: (B, ng); load: (ng,) or (B, ng).
     """
     prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
-    lhs = pred_seq @ sys_op.T
-    rhs = prev @ S.T + dt * jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[
-        :, None, :
-    ]
+    lhs = _mm(pred_seq, sys_op.T)
+    rhs = _mm(prev, S.T) + dt * jnp.broadcast_to(
+        load, pred_seq.shape[:1] + load.shape[-1:]
+    )[:, None, :]
     per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
     return jnp.mean(per_t)
 
@@ -125,9 +136,9 @@ def rollout_ns_residual(
     parallel over t (one-step shift, two matmuls + the masked quadratic).
     """
     prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
-    conv = masked_convection(prev, B1, B2, n2, conv_row_mask)
-    lhs = pred_seq @ sys_op.T
-    rhs = prev @ S.T + dt * (
+    conv = masked_convection(prev, B1, B2, n2, conv_row_mask, precision=_PREC)
+    lhs = _mm(pred_seq, sys_op.T)
+    rhs = _mm(prev, S.T) + dt * (
         jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[:, None, :] - conv
     )
     per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))

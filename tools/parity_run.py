@@ -22,6 +22,9 @@ import time
 
 import numpy as np
 
+# runnable from anywhere: tools/ lives one level under the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 ART_DEFAULT = "artifacts/parity_ne72_channel.npz"
 
 
