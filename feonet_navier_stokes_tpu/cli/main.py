@@ -111,6 +111,8 @@ def cmd_train(args) -> int:
         eval_every=args.eval_every,
         ckpt_dir=args.ckpt_dir,
         log_path=args.log,
+        truth_for_train=not args.no_train_truth,
+        model_kwargs=json.loads(args.model_kwargs),
     )
     trainer = Trainer(problem, tc)
     print(f"model={args.model} params={trainer.n_params:,} ng={problem.ng} "
@@ -203,6 +205,12 @@ def main(argv=None) -> int:
                    help="checkpoint path for warm start (reference NS<-Stokes)")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt-dir")
+    t.add_argument("--no-train-truth", action="store_true",
+                   help="skip reference solves for the train split (residual "
+                        "training is label-free; val metrics unaffected)")
+    t.add_argument("--model-kwargs", default="{}",
+                   help='JSON dict of model hyperparameters, e.g. '
+                        '\'{"head_filters": 32}\'')
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="evaluate a checkpoint")

@@ -131,6 +131,19 @@ def scatter_add_dense(vals: Array, plan: BlockScatter) -> np.ndarray:
     return out.reshape(plan.shape)
 
 
+def scatter_add_csr(vals: Array, plan: BlockScatter):
+    """Scatter element values into a scipy CSR block — the memory-scalable
+    path for the ~50k-DoF stretch configs where a dense (ng, ng) float64
+    operator would not fit (SURVEY.md §7 step 7)."""
+    from scipy.sparse import coo_matrix
+
+    flat = np.asarray(vals, dtype=np.float64).reshape(-1)
+    rows, cols = np.divmod(
+        plan.sorted_ids[np.argsort(plan.perm, kind="stable")], plan.shape[1]
+    )
+    return coo_matrix((flat, (rows, cols)), shape=plan.shape).tocsr()
+
+
 # ---------------------------------------------------------------------------
 # Tabulations (static constants)
 # ---------------------------------------------------------------------------
@@ -163,8 +176,10 @@ def assemble_scalar_block(
     kind: str,
     degree: int = 4,
     dtype=np.float64,
+    fmt: str = "dense",
 ) -> np.ndarray:
     """Assemble one scalar block (float64 internals, cast to dtype on return).
+    ``fmt='csr'`` returns scipy CSR instead of dense (large-ng path).
 
     kind:
       'stiffness'    (n2, n2)  ∫ ∇φi·∇φj
@@ -210,6 +225,8 @@ def assemble_scalar_block(
         plan = make_block_scatter(d1, d1, n1, n1)
     else:
         raise ValueError(f"unknown block kind: {kind!r}")
+    if fmt == "csr":
+        return scatter_add_csr(vals, plan).astype(dtype)
     return scatter_add_dense(vals, plan).astype(dtype)
 
 
@@ -226,6 +243,7 @@ def assemble_stokes(
     div_sign_pu: float = -1.0,
     degree: int = 4,
     dtype=np.float64,
+    fmt: str = "dense",
 ) -> np.ndarray:
     """Assemble the mixed Stokes matrix (no BCs applied).
 
@@ -241,21 +259,33 @@ def assemble_stokes(
     """
     n2, n1, ng = space.n2, space.n1, space.ng
     if viscous_form == "grad":
-        K = mu * assemble_scalar_block(space, "stiffness", degree)
+        K = mu * assemble_scalar_block(space, "stiffness", degree, fmt=fmt)
         K11, K22 = K, K
         K12 = None
     elif viscous_form == "sym":
-        kxx = assemble_scalar_block(space, "kxx", degree)
-        kyy = assemble_scalar_block(space, "kyy", degree)
-        kyx = assemble_scalar_block(space, "kyx", degree)
+        kxx = assemble_scalar_block(space, "kxx", degree, fmt=fmt)
+        kyy = assemble_scalar_block(space, "kyy", degree, fmt=fmt)
+        kyx = assemble_scalar_block(space, "kyx", degree, fmt=fmt)
         K11 = mu * (2.0 * kxx + kyy)
         K22 = mu * (kxx + 2.0 * kyy)
         K12 = mu * kyx  # (u1 row i, u2 col j): mu ∫ ∂yφi ∂xφj
     else:
         raise ValueError(f"unknown viscous_form: {viscous_form!r}")
 
-    D1 = assemble_scalar_block(space, "div_x", degree)  # ∫ ψj ∂xφi
-    D2 = assemble_scalar_block(space, "div_y", degree)
+    D1 = assemble_scalar_block(space, "div_x", degree, fmt=fmt)  # ∫ ψj ∂xφi
+    D2 = assemble_scalar_block(space, "div_y", degree, fmt=fmt)
+
+    if fmt == "csr":
+        from scipy.sparse import bmat
+
+        return bmat(
+            [
+                [K11, K12, div_sign_vp * D1],
+                [K12.T if K12 is not None else None, K22, div_sign_vp * D2],
+                [div_sign_pu * D1.T, div_sign_pu * D2.T, None],
+            ],
+            format="csr",
+        ).astype(dtype)
 
     A = np.zeros((ng, ng), dtype=np.float64)
     A[:n2, :n2] = K11
@@ -271,14 +301,20 @@ def assemble_stokes(
 
 
 def assemble_velocity_mass(
-    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64
+    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64, fmt: str = "dense"
 ) -> np.ndarray:
     """S = ∫ v·u dx on the mixed space (pressure block zero).
 
     Reference: FEONet_time_dep_Stokes/assemble_fenics.py:122-126.
     """
     n2, ng = space.n2, space.ng
-    M = assemble_scalar_block(space, "mass", degree)
+    M = assemble_scalar_block(space, "mass", degree, fmt=fmt)
+    if fmt == "csr":
+        from scipy.sparse import bmat, csr_matrix
+
+        Z = csr_matrix((space.n1, space.n1))
+        return bmat([[M, None, None], [None, M, None], [None, None, Z]],
+                    format="csr").astype(dtype)
     S = np.zeros((ng, ng), dtype=np.float64)
     S[:n2, :n2] = M
     S[n2 : 2 * n2, n2 : 2 * n2] = M
@@ -286,7 +322,7 @@ def assemble_velocity_mass(
 
 
 def assemble_convection(
-    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64
+    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64, fmt: str = "dense"
 ) -> tuple[np.ndarray, np.ndarray]:
     """Linearized convection matrices B1, B2 on the mixed space.
 
@@ -295,8 +331,18 @@ def assemble_convection(
     (``dot(dot(grad(u), e_k), v) * dx``).
     """
     n2, ng = space.n2, space.ng
-    C1 = assemble_scalar_block(space, "conv_x", degree)
-    C2 = assemble_scalar_block(space, "conv_y", degree)
+    C1 = assemble_scalar_block(space, "conv_x", degree, fmt=fmt)
+    C2 = assemble_scalar_block(space, "conv_y", degree, fmt=fmt)
+    if fmt == "csr":
+        from scipy.sparse import bmat, csr_matrix
+
+        Z = csr_matrix((space.n1, space.n1))
+
+        def mixed(C):
+            return bmat([[C, None, None], [None, C, None], [None, None, Z]],
+                        format="csr").astype(dtype)
+
+        return mixed(C1), mixed(C2)
     B1 = np.zeros((ng, ng), dtype=np.float64)
     B1[:n2, :n2] = C1
     B1[n2 : 2 * n2, n2 : 2 * n2] = C1
@@ -424,9 +470,17 @@ def apply_bc_matrix(A: Array, mask: Array) -> np.ndarray:
 
     Matches ``bc.apply(A)`` (reference: FEONet_Stokes_square/
     assemble_fenics.py:67-69). mask: (ng,) 1.0 where constrained.
+    Accepts dense arrays or scipy sparse (returns the same kind).
     """
-    A = np.asarray(A, dtype=np.float64)
+    from scipy.sparse import issparse
+
     mask = np.asarray(mask, dtype=np.float64)
+    if issparse(A):
+        from scipy.sparse import diags
+
+        keep = diags(1.0 - mask)
+        return (keep @ A.tocsr() + diags(mask)).tocsr()
+    A = np.asarray(A, dtype=np.float64)
     return A * (1.0 - mask)[:, None] + np.diag(mask)
 
 

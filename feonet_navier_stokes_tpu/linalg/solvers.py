@@ -25,11 +25,24 @@ from scipy.linalg import lu_factor, lu_solve
 Array = np.ndarray
 
 
+def _factorize(A):
+    """LU-factorize dense (scipy.linalg) or sparse (SuperLU) matrices and
+    return a solve(batch_of_rhs_rows) closure. Sparse path enables the
+    ~50k-DoF stretch configs where dense O(ng^3) LU is infeasible."""
+    from scipy.sparse import issparse
+
+    if issparse(A):
+        from scipy.sparse.linalg import splu
+
+        lu = splu(A.tocsc().astype(np.float64))
+        return lambda rhs_rows: lu.solve(np.asarray(rhs_rows, dtype=np.float64).T).T
+    lu, piv = lu_factor(np.asarray(A, dtype=np.float64))
+    return lambda rhs_rows: lu_solve((lu, piv), np.asarray(rhs_rows, dtype=np.float64).T).T
+
+
 def solve_dense(A: Array, b: Array) -> np.ndarray:
-    """Single solve A x = b (float64)."""
-    return np.linalg.solve(
-        np.asarray(A, dtype=np.float64), np.asarray(b, dtype=np.float64)
-    )
+    """Single solve A x = b (float64; dense or scipy sparse A)."""
+    return _factorize(A)(np.asarray(b, dtype=np.float64)[None])[0]
 
 
 def solve_dense_batched(A: Array, B: Array) -> np.ndarray:
@@ -37,9 +50,9 @@ def solve_dense_batched(A: Array, B: Array) -> np.ndarray:
 
     One factorization, one triangular-solve batch — the reference's
     O(n^3)-per-sample loop collapses to O(n^3) + O(n_samples n^2).
+    Sparse A uses SuperLU (50k-DoF path).
     """
-    lu, piv = lu_factor(np.asarray(A, dtype=np.float64))
-    return lu_solve((lu, piv), np.asarray(B, dtype=np.float64).T).T
+    return _factorize(A)(B)
 
 
 def implicit_euler_rollout(
@@ -62,20 +75,22 @@ def implicit_euler_rollout(
     baked into the operators; we support both conventions).
     Returns (B, n_steps + 1, ng) including u0.
     """
-    S = np.asarray(S, dtype=np.float64)
+    from scipy.sparse import issparse
+
+    if not issparse(S):
+        S = np.asarray(S, dtype=np.float64)
     u0 = np.asarray(u0, dtype=np.float64)
-    sys = S + dt * np.asarray(A, dtype=np.float64)
-    lu, piv = lu_factor(sys)
+    solve = _factorize(S + dt * A)
     load_b = np.broadcast_to(np.asarray(load, dtype=np.float64), u0.shape)
 
     traj = np.empty((u0.shape[0], n_steps + 1, u0.shape[1]))
     traj[:, 0] = u0
     u = u0
     for t in range(1, n_steps + 1):
-        rhs = u @ S.T + dt * load_b
+        rhs = ((S @ u.T).T if issparse(S) else u @ S.T) + dt * load_b
         if bc_mask is not None:
             rhs = rhs * (1.0 - bc_mask) + bc_values * bc_mask
-        u = lu_solve((lu, piv), rhs.T).T
+        u = solve(rhs)
         traj[:, t] = u
     return traj
 
@@ -103,10 +118,12 @@ def semi_implicit_ns_rollout(
     time-dependent *Stokes* only, FEONet_time_dep_Stokes/); designed for the
     ~50k-DoF batched-ensemble stretch config (SURVEY.md §7 step 7).
     """
-    S = np.asarray(S, dtype=np.float64)
+    from scipy.sparse import issparse
+
+    if not issparse(S):
+        S = np.asarray(S, dtype=np.float64)
     u0 = np.asarray(u0, dtype=np.float64)
-    sys = S + dt * np.asarray(A, dtype=np.float64)
-    lu, piv = lu_factor(sys)
+    solve = _factorize(S + dt * A)
     load_b = np.broadcast_to(np.asarray(load, dtype=np.float64), u0.shape)
     keep = 1.0 - np.asarray(conv_row_mask, dtype=np.float64)
 
@@ -114,7 +131,8 @@ def semi_implicit_ns_rollout(
     traj[:, 0] = u0
     u = u0
     for t in range(1, n_steps + 1):
-        rhs = u @ S.T + dt * (load_b - keep * conv_fn(u))
-        u = lu_solve((lu, piv), rhs.T).T
+        su = (S @ u.T).T if issparse(S) else u @ S.T
+        rhs = su + dt * (load_b - keep * conv_fn(u))
+        u = solve(rhs)
         traj[:, t] = u
     return traj

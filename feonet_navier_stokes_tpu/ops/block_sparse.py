@@ -110,6 +110,43 @@ def bsr_from_dense(A: Array, tol: float = 0.0) -> BlockSparseOperator:
     )
 
 
+def bsr_from_csr(A_csr) -> BlockSparseOperator:
+    """Build the operator from a scipy CSR matrix WITHOUT densifying.
+
+    The memory-scalable companion of ``bsr_from_dense`` for the ~50k-DoF
+    stretch configs (a dense f32 operator at ng=50k is 10 GB; the tiles of
+    its ~30-nonzeros-per-row FEM stencil are ~100 MB).
+    """
+    from scipy.sparse import csr_matrix
+
+    A_csr = csr_matrix(A_csr, copy=True).astype(np.float32)
+    ng = A_csr.shape[0]
+    nb = -(-ng // BLK)
+    ng_pad = nb * BLK
+    A_csr.resize((ng_pad, ng_pad))
+    bsr = A_csr.tobsr(blocksize=(BLK, BLK))
+    bsr.sort_indices()
+    data = np.ascontiguousarray(bsr.data, dtype=np.float32)  # (nnzb, BLK, BLK)
+    indptr, indices = bsr.indptr, bsr.indices
+    counts = np.diff(indptr)
+    k_max = max(int(counts.max()), 1)
+    zero_id = data.shape[0]
+    blocks = np.concatenate([data, np.zeros((1, BLK, BLK), dtype=np.float32)])
+    cols = np.zeros((nb, k_max), dtype=np.int32)
+    ids = np.full((nb, k_max), zero_id, dtype=np.int32)
+    for i in range(nb):
+        lo, hi = indptr[i], indptr[i + 1]
+        cols[i, : hi - lo] = indices[lo:hi]
+        ids[i, : hi - lo] = np.arange(lo, hi)
+    return BlockSparseOperator(
+        blocks=jnp.asarray(blocks),
+        block_cols=jnp.asarray(cols),
+        block_ids=jnp.asarray(ids),
+        ng=ng,
+        ng_pad=ng_pad,
+    )
+
+
 def _bsr_kernel(cols_ref, ids_ref, u_ref, blk_ref, out_ref):
     k = pl.program_id(2)
 

@@ -64,7 +64,7 @@ from ..residual import linear_residual, nonlinear_residual, rollout_residual
 from ..sampling import (
     sample_sincos_coeffs,
     sincos_on_grid,
-    grf_cholesky,
+    grf_factor,
     sample_grf,
     GridInterpolator,
     sample_ic_coeffs,
@@ -112,6 +112,12 @@ class ProblemConfig:
     # half-viscosity bug, likely a dropped grad-transpose). 1.0 = consistent.
     ns_truth_mu_factor: float = 1.0
     validate_form: bool = False  # reference val-set sincos variant
+    # 'dense': (ng, ng) device operators (reference scales, ng <= ~3k).
+    # 'bsr'  : host CSR assembly + Pallas 128x128 block-sparse operators for
+    #          the residual matmuls — the ~50k-DoF stretch path (SURVEY.md §7
+    #          step 7) where dense operators would be 10 GB. Requires
+    #          precond_iters == 0 (a SPAI inverse is dense).
+    op_format: str = "dense"
     dtype: Any = jnp.float32
 
     def resolved_mu(self) -> float:
@@ -152,30 +158,42 @@ class Problem:
         self.bc_values = jnp.asarray(bc.values, dtype=dtype)
 
         # --- operators: host numpy float64, device copies at working dtype ---
+        self.is_bsr = c.op_format == "bsr"
+        if self.is_bsr and c.precond_iters > 0:
+            raise ValueError("op_format='bsr' requires precond_iters=0 "
+                             "(a SPAI approximate inverse is dense)")
+        fmt = "csr" if self.is_bsr else "dense"
         if c.name == "stokes_hole":
             A_raw = assemble_stokes(
-                space, mu, viscous_form="sym", div_sign_vp=-1.0, div_sign_pu=+1.0
+                space, mu, viscous_form="sym", div_sign_vp=-1.0, div_sign_pu=+1.0,
+                fmt=fmt,
             )
         elif c.name in _TIMEDEP:
-            A_raw = assemble_stokes(space, mu, div_sign_vp=-1.0, div_sign_pu=+1.0)
+            A_raw = assemble_stokes(
+                space, mu, div_sign_vp=-1.0, div_sign_pu=+1.0, fmt=fmt
+            )
         else:
-            A_raw = assemble_stokes(space, mu)
+            A_raw = assemble_stokes(space, mu, fmt=fmt)
         A64 = apply_bc_matrix(A_raw, bc.mask)
         self.A64 = A64
-        self.A = jnp.asarray(A64, dtype=dtype)
+        self.A = None if self.is_bsr else jnp.asarray(A64, dtype=dtype)
 
         self.B1 = self.B2 = None
         self.conv_row_mask = None
         if c.name in ("steady_ns", "timedep_ns"):
-            B1, B2 = assemble_convection(space)
+            B1, B2 = assemble_convection(space, fmt=fmt)
             if c.ns_bc_rows == "script":
                 B1 = apply_bc_matrix(B1, bc.mask)
                 B2 = apply_bc_matrix(B2, bc.mask)
             else:
                 self.conv_row_mask = self.mask
             self.B1_64, self.B2_64 = B1, B2
-            self.B1 = jnp.asarray(B1, dtype=dtype)
-            self.B2 = jnp.asarray(B2, dtype=dtype)
+            if self.is_bsr:
+                self.B1 = self._bsr_pair(B1)
+                self.B2 = self._bsr_pair(B2)
+            else:
+                self.B1 = jnp.asarray(B1, dtype=dtype)
+                self.B2 = jnp.asarray(B2, dtype=dtype)
             # true trilinear convection for the ground-truth Newton
             from ..fem.nonlinear import make_true_convection
 
@@ -188,16 +206,16 @@ class Problem:
 
         self.S = None
         if c.name in _TIMEDEP:
-            S64 = apply_bc_matrix(assemble_velocity_mass(space), bc.mask)
+            S64 = apply_bc_matrix(assemble_velocity_mass(space, fmt=fmt), bc.mask)
             self.S64 = S64
-            self.S = jnp.asarray(S64, dtype=dtype)
+            self.S = self._bsr_pair(S64) if self.is_bsr else jnp.asarray(S64, dtype=dtype)
             f_const = (5.0, -5.0) if c.forcing == "five" else (0.0, 0.0)
             load64 = assemble_load_constant(space, f_const)
             load64 = apply_bc_vector(load64, bc.mask, bc.values)
             self.load_const64 = load64
             self.load_const = jnp.asarray(load64, dtype=dtype)
-            self.sys64 = S64 + c.dt * A64
-            self.sys = jnp.asarray(self.sys64, dtype=dtype)
+            self.sys64 = (S64 + c.dt * A64).tocsr() if self.is_bsr else S64 + c.dt * A64
+            self.sys = None if self.is_bsr else jnp.asarray(self.sys64, dtype=dtype)
 
         # --- SPAI preconditioner & the training operator ---
         base64 = self.sys64 if c.name in _TIMEDEP else A64
@@ -206,11 +224,14 @@ class Problem:
         else:
             self.precond64 = None
             self.precond = None
-            self.op_train = jnp.asarray(base64, dtype=dtype)
+            self.op_train = (
+                self._bsr_pair(base64) if self.is_bsr
+                else jnp.asarray(base64, dtype=dtype)
+            )
 
         # --- sampling state ---
         if c.forcing == "grf":
-            self.grf_chol = grf_cholesky(space.p2_coords)
+            self.grf_chol = grf_factor(space.p2_coords)
             self.interp = GridInterpolator.build(space.p2_coords, c.resol_in)
         else:
             self.grf_chol = None
@@ -218,7 +239,14 @@ class Problem:
 
         if c.name in _TIMEDEP:
             # P2 scalar mass for IC projection (FEniCS `project`)
-            self.M2_64 = assemble_scalar_block(space, "mass")
+            self.M2_64 = assemble_scalar_block(space, "mass", fmt=fmt)
+
+    @staticmethod
+    def _bsr_pair(A_csr):
+        """(forward, transpose) Pallas block-sparse operators from CSR."""
+        from ..ops.block_sparse import bsr_from_csr
+
+        return (bsr_from_csr(A_csr), bsr_from_csr(A_csr.T.tocsr()))
 
     def set_precond(self, M) -> None:
         """Install a precomputed SPAI preconditioner (e.g. loaded from a cache
@@ -316,8 +344,10 @@ class Problem:
         loads = _load_from_quad_values(self.space, f_quad, degree)
         n2 = self.n2
         b1, b2 = loads[:, :n2], loads[:, n2 : 2 * n2]
-        q1 = np.linalg.solve(self.M2_64, b1.T).T
-        q2 = np.linalg.solve(self.M2_64, b2.T).T
+        from ..linalg.solvers import solve_dense_batched as _solve
+
+        q1 = _solve(self.M2_64, b1)
+        q2 = _solve(self.M2_64, b2)
         B = loads.shape[0]
         return np.concatenate([q1, q2, np.zeros((B, self.space.n1))], axis=1)
 
@@ -445,6 +475,12 @@ class Problem:
             )
         load64 = self.load64(batch)
         if c.name == "steady_ns":
+            if self.is_bsr:
+                raise NotImplementedError(
+                    "dense Newton ground truth is not available at bsr "
+                    "scale; train label-free (truth_for_train=False) or use "
+                    "the timedep_ns IMEX rollout (sparse-LU) for truth"
+                )
             u, rel, _ = self._solve_ns_batch(load64)
             return u
         return solve_dense_batched(self.A64, load64)

@@ -24,8 +24,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..linalg.newton import masked_convection
-
 Array = jax.Array
 
 # Residual matmuls run at FULL float32 precision: on TPU the default matmul
@@ -40,6 +38,36 @@ def _mm(x: Array, op_t: Array) -> Array:
     return jnp.matmul(x, op_t, precision=_PREC)
 
 
+def _apply_op(x: Array, op) -> Array:
+    """x @ A^T where `op` is either a dense (ng, ng) array or a
+    (BlockSparseOperator, BlockSparseOperator-transpose) pair — the Pallas
+    block-sparse path for the ~50k-DoF stretch configs (ops/block_sparse.py).
+    Leading dims of x are flattened for the kernel and restored."""
+    if isinstance(op, tuple):
+        from ..ops.block_sparse import bsr_apply
+
+        fwd, bwd = op
+        flat = x.reshape(-1, x.shape[-1])
+        return bsr_apply(flat, fwd, bwd).reshape(x.shape)
+    return _mm(x, op.T)
+
+
+def _masked_conv(u: Array, B1, B2, n2: int, conv_row_mask) -> Array:
+    """Group-FEM convection with dense-or-BSR B1/B2 (see masked_convection
+    in linalg/newton.py for the dense reference semantics)."""
+    d1 = jnp.concatenate(
+        [u[..., :n2], u[..., :n2], jnp.zeros_like(u[..., 2 * n2 :])], axis=-1
+    )
+    d2 = jnp.concatenate(
+        [u[..., n2 : 2 * n2], u[..., n2 : 2 * n2], jnp.zeros_like(u[..., 2 * n2 :])],
+        axis=-1,
+    )
+    conv = d1 * _apply_op(u, B1) + d2 * _apply_op(u, B2)
+    if conv_row_mask is not None:
+        conv = conv * (1.0 - conv_row_mask)
+    return conv
+
+
 def sum_of_squares(resid: Array) -> Array:
     """Total sum of squares in float32-accumulated precision."""
     return jnp.sum(jnp.square(resid))
@@ -52,7 +80,7 @@ def linear_residual(pred: Array, op: Array, rhs: Array) -> Array:
     (reference weak_form + closure: FEONet_Stokes_square/
     train_FEONet.py:259-296 — one einsum + one reduction here.)
     """
-    return sum_of_squares(_mm(pred, op.T) - rhs)
+    return sum_of_squares(_apply_op(pred, op) - rhs)
 
 
 def nonlinear_residual(
@@ -72,11 +100,11 @@ def nonlinear_residual(
     SPAI, pass op = A @ M; conv is evaluated on the RAW prediction (matching
     the reference, which applies the preconditioner on the linear term only).
     """
-    conv = masked_convection(pred, B1, B2, n2, conv_row_mask, precision=_PREC)
+    conv = _masked_conv(pred, B1, B2, n2, conv_row_mask)
     if reference_sign_bug:
-        resid = _mm(pred, op.T) + rhs - conv
+        resid = _apply_op(pred, op) + rhs - conv
     else:
-        resid = _mm(pred, op.T) + conv - rhs
+        resid = _apply_op(pred, op) + conv - rhs
     return sum_of_squares(resid)
 
 
@@ -106,8 +134,8 @@ def rollout_residual(
     pred_seq: (B, T, ng); u_init: (B, ng); load: (ng,) or (B, ng).
     """
     prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
-    lhs = _mm(pred_seq, sys_op.T)
-    rhs = _mm(prev, S.T) + dt * jnp.broadcast_to(
+    lhs = _apply_op(pred_seq, sys_op)
+    rhs = _apply_op(prev, S) + dt * jnp.broadcast_to(
         load, pred_seq.shape[:1] + load.shape[-1:]
     )[:, None, :]
     per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
@@ -136,9 +164,9 @@ def rollout_ns_residual(
     parallel over t (one-step shift, two matmuls + the masked quadratic).
     """
     prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
-    conv = masked_convection(prev, B1, B2, n2, conv_row_mask, precision=_PREC)
-    lhs = _mm(pred_seq, sys_op.T)
-    rhs = _mm(prev, S.T) + dt * (
+    conv = _masked_conv(prev, B1, B2, n2, conv_row_mask)
+    lhs = _apply_op(pred_seq, sys_op)
+    rhs = _apply_op(prev, S) + dt * (
         jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[:, None, :] - conv
     )
     per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))

