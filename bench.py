@@ -1,27 +1,37 @@
 """Benchmark harness: full residual-loss train step at the 512-element config.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose headline is
   {"metric": "train_steps_per_sec_512dof", "value": N, "unit": "steps/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
+with additional tracked fields (BASELINE.json metrics):
+  * assembly_mdof_per_s       — batched load-vector assembly throughput,
+                                million DoF entries (B x ng) per second (the
+                                create_data.py hot loop's replacement)
+  * operator_assembly_ms      — one full Stokes operator assembly at ne=512
+  * mfu_pct                   — XLA-reported FLOPs / step-time / v5e peak
+  * bf16_steps_per_sec        — same step with compute_dtype=bfloat16
+  * bsr_50k_steps_per_sec     — Pallas block-sparse step at the ~47k-DoF
+                                stretch config (op_format='bsr', nx=72)
+  * bsr_compiled_max_err      — compiled (non-interpret) BSR kernel vs dense
+                                operator application at ne=512 on this chip
 
 Measured workload — one full training step (forcing featurization -> Net2D
-forward -> Galerkin residual loss -> backward -> Adam update) at the
-reference's ne=512 scale:
+forward -> Galerkin residual loss -> backward -> Adam update):
   * mesh nx=16 unit square -> ne=512 elements, ng=2563 mixed DoFs (the same
     size as the reference's square-with-hole ne=512 / ng=2549 headline config,
     FEONet-square-with-hole/test.ipynb cells 14-16),
   * full batch 1000 samples (reference BATCH_SIZE=NUM_DATA=1000,
     FEONet_Stokes_square/train_FEONet.py:99-102),
-  * Net2D(filters=32, k=5) on a 20x20 forcing grid (the reference's default
-    resol_in=20, train_FEONet.py:40).
+  * Net2D(filters=32, k=5) on a 20x20 forcing grid (the reference default
+    resol_in=20, train_FEONet.py:39) — the SAME R as the baseline below.
 
 Baseline — the reference's own train-step code pattern (per-sample mm
 list-comprehension + per-DoF Python MSE loop + Adam,
 FEONet_Stokes_square/train_FEONet.py:261-301) run in torch on the CPU of
-this image at the identical (ng=2563, B=1000, R=20) configuration. The
-reference repo commits no GPU training logs (log/ is gitignored,
-.gitignore:96-99), so the in-image CPU measurement is the only reproducible
-baseline; re-measure with tools/measure_baseline.py.
+this image at the identical (ng=2563, B=1000, R=20) configuration: 18.4
+s/step warm (tools/measure_baseline.py, 2026-08-16). The reference repo
+commits no GPU training logs (log/ is gitignored, .gitignore:96-99), so the
+in-image CPU measurement is the only reproducible baseline.
 """
 
 from __future__ import annotations
@@ -30,29 +40,30 @@ import json
 import sys
 import time
 
-# Measured in-image (torch 2.x CPU, ng=2563, B=1000, R=20) with
-# tools/measure_baseline.py on 2026-08-16: 18.4 s/step warm (at the
-# reference's hole-problem R=50 the same pattern takes 271.6 s/step).
+# torch CPU, ng=2563, B=1000, R=20 — measured with tools/measure_baseline.py.
 BASELINE_STEPS_PER_SEC = 1.0 / 18.4
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (f32 via bf16 passes)
 
 
-def measure_tpu_steps_per_sec(
-    nx: int = 16, batch: int = 1000, resol: int = 50, warm_steps: int = 30
-) -> float:
+def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
+                   filters: int = 32, dtype_name: str = "float32"):
     import jax
+    import jax.numpy as jnp
 
     from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
     from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
 
     problem = build_problem(
-        ProblemConfig(name="stokes_square", bc="channel_flow", nx=nx, resol_in=resol)
+        ProblemConfig(name="stokes_square", bc="channel_flow", nx=nx,
+                      resol_in=resol, op_format=op_format)
     )
     tc = TrainConfig(
         model="Net2D",
         lr=1e-3,
         num_train=batch,
         num_val=1,
-        model_kwargs={"filters": 32, "kernel_size": 5},
+        model_kwargs={"filters": filters, "kernel_size": 5,
+                      "compute_dtype": getattr(jnp, dtype_name)},
     )
     trainer = Trainer(problem, tc)
     batch_d = problem.sample_batch(jax.random.PRNGKey(5), batch)
@@ -60,14 +71,17 @@ def measure_tpu_steps_per_sec(
         from feonet_navier_stokes_tpu.parallel import shard_batch
 
         batch_d = shard_batch(batch_d, trainer.mesh)
+    return problem, trainer, batch_d
+
+
+def measure_steps_per_sec(trainer, batch_d, warm_steps: int = 30):
+    import jax
 
     rng = jax.random.PRNGKey(1)
-    # compile + 3 warm-up steps
     for _ in range(3):
         rng, k = jax.random.split(rng)
         trainer.state, loss = trainer._train_step(trainer.state, batch_d, k)
     jax.block_until_ready(loss)
-
     t0 = time.perf_counter()
     for _ in range(warm_steps):
         rng, k = jax.random.split(rng)
@@ -78,19 +92,102 @@ def measure_tpu_steps_per_sec(
     return warm_steps / dt
 
 
-def main() -> int:
-    baseline = BASELINE_STEPS_PER_SEC
-    value = measure_tpu_steps_per_sec()
-    print(
-        json.dumps(
-            {
-                "metric": "train_steps_per_sec_512dof",
-                "value": round(value, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(value / baseline, 1),
-            }
+def measure_step_flops(trainer, batch_d) -> float | None:
+    """XLA's own FLOP count for the jitted train step (None if unavailable)."""
+    import jax
+
+    try:
+        lowered = jax.jit(trainer._train_step_impl).lower(
+            trainer.state, batch_d, jax.random.PRNGKey(0)
         )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def measure_assembly(nx: int = 16, batch: int = 1000) -> tuple[float, float]:
+    """(load assembly MDoF/s, one operator assembly in ms) — host float64."""
+    import numpy as np
+
+    from feonet_navier_stokes_tpu.geometry import (
+        build_taylor_hood,
+        structured_rectangle,
     )
+    from feonet_navier_stokes_tpu.fem import assemble_load_sincos, assemble_stokes
+
+    space = build_taylor_hood(structured_rectangle(nx, nx))
+    coeffs = np.random.default_rng(0).uniform(size=(batch, 6))
+    assemble_load_sincos(space, coeffs[:2])  # warm scatter caches
+    t0 = time.perf_counter()
+    loads = assemble_load_sincos(space, coeffs)
+    t_load = time.perf_counter() - t0
+    mdof_s = loads.size / t_load / 1e6
+
+    t0 = time.perf_counter()
+    assemble_stokes(space, mu=0.1)
+    t_op = (time.perf_counter() - t0) * 1e3
+    return mdof_s, t_op
+
+
+def check_bsr_compiled(nx: int = 16) -> float:
+    """Compiled (non-interpret) Pallas BSR vs dense operator application."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.ops.block_sparse import bsr_from_csr, bsr_matmat
+
+    p = build_problem(ProblemConfig(name="stokes_square", bc="channel_flow",
+                                    nx=nx, op_format="bsr"))
+    op, _ = p.op_train
+    u = jax.random.normal(jax.random.PRNGKey(0), (64, p.ng), dtype=jnp.float32)
+    interpret = jax.default_backend() == "cpu"
+    y = np.asarray(bsr_matmat(u, op, interpret=interpret))
+    y_ref = np.asarray(u) @ np.asarray(p.A64.todense()).T
+    scale = max(np.abs(y_ref).max(), 1e-9)
+    return float(np.abs(y - y_ref).max() / scale)
+
+
+def main() -> int:
+    import jax
+
+    out = {"metric": "train_steps_per_sec_512dof", "unit": "steps/s"}
+
+    # headline: SAME (ng=2563, B=1000, R=20) workload as the CPU baseline
+    problem, trainer, batch_d = _build_trainer(nx=16, batch=1000, resol=20)
+    value = measure_steps_per_sec(trainer, batch_d)
+    out["value"] = round(value, 3)
+    out["vs_baseline"] = round(value / BASELINE_STEPS_PER_SEC, 1)
+    flops = measure_step_flops(trainer, batch_d)
+    if flops:
+        out["mfu_pct"] = round(100.0 * flops * value / V5E_PEAK_FLOPS, 2)
+
+    # bfloat16 compute-path variant (params stay f32)
+    _, tr16, b16 = _build_trainer(nx=16, batch=1000, resol=20,
+                                  dtype_name="bfloat16")
+    out["bf16_steps_per_sec"] = round(measure_steps_per_sec(tr16, b16, 20), 3)
+
+    # host assembly throughput (BASELINE.json tracked metric)
+    mdof_s, op_ms = measure_assembly()
+    out["assembly_mdof_per_s"] = round(mdof_s, 2)
+    out["operator_assembly_ms"] = round(op_ms, 1)
+
+    # Pallas BSR: compiled-mode correctness + ~47k-DoF stretch throughput
+    out["bsr_compiled_max_err"] = round(check_bsr_compiled(), 9)
+    try:
+        _, trb, bb = _build_trainer(nx=72, batch=256, resol=20,
+                                    op_format="bsr", filters=8)
+        out["bsr_50k_steps_per_sec"] = round(
+            measure_steps_per_sec(trb, bb, 10), 3
+        )
+    except Exception as e:  # keep the headline JSON even if the stretch OOMs
+        out["bsr_50k_error"] = type(e).__name__
+
+    print(json.dumps(out))
     return 0
 
 

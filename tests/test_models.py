@@ -108,3 +108,21 @@ def test_torch_default_init_distribution():
     var = np.var(np.asarray(k0))
     np.testing.assert_allclose(var, bound**2 / 3.0, rtol=0.15)
     assert np.abs(np.asarray(b0)).max() > 0.0  # flax default bias is zeros
+
+
+def test_net2d_bfloat16_compute_path():
+    """compute_dtype=bfloat16 runs the conv stack on the MXU dtype while the
+    coefficient head stays float32; outputs track the f32 path within bf16
+    tolerance (benchmarked as bf16_steps_per_sec in bench.py)."""
+    import jax
+    from feonet_navier_stokes_tpu.models import build_model
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 20, 2))
+    m32 = build_model("Net2D", d_out=50, filters=8)
+    m16 = build_model("Net2D", d_out=50, filters=8, compute_dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(1), x, train=False)
+    y32 = np.asarray(m32.apply(v, x, train=False))
+    y16 = np.asarray(m16.apply(v, x, train=False))
+    assert y16.dtype == np.float32  # head output stays f32
+    denom = max(np.abs(y32).max(), 1e-6)
+    assert np.abs(y16 - y32).max() / denom < 0.05
