@@ -103,6 +103,7 @@ def cmd_train(args) -> int:
         model=args.model,
         optimizer=args.optimizer,
         lr=args.lr,
+        lr_schedule=args.lr_schedule,
         epochs=args.epochs,
         batch_size=args.batch_size,
         num_train=args.num_train,
@@ -193,6 +194,8 @@ def main(argv=None) -> int:
     t.add_argument("--model", default="UNetWithHead")
     t.add_argument("--optimizer", default="adam")
     t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine", "exponential"])
     t.add_argument("--epochs", type=int, default=80000)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--num-train", type=int, default=1000)

@@ -11,11 +11,35 @@ from __future__ import annotations
 import optax
 
 OPTIMIZERS = ("adam", "adamw", "sgd", "adagrad", "lbfgs")
+SCHEDULES = ("constant", "cosine", "exponential")
+
+
+def build_schedule(
+    lr: float,
+    schedule: str = "constant",
+    total_steps: int = 0,
+    final_fraction: float = 0.01,
+):
+    """LR schedule. The reference trains at a CONSTANT lr (torch Adam with no
+    scheduler, train_FEONet.py:219-226), which produces the late-training
+    loss spikes visible in full-batch runs; cosine/exponential decay to
+    ``final_fraction * lr`` over ``total_steps`` is offered as the
+    better-practice alternative (off by default for parity)."""
+    schedule = schedule.lower()
+    if schedule == "constant" or total_steps <= 0:
+        return lr
+    if schedule == "cosine":
+        return optax.cosine_decay_schedule(lr, total_steps, alpha=final_fraction)
+    if schedule == "exponential":
+        return optax.exponential_decay(
+            lr, total_steps, final_fraction, staircase=False
+        )
+    raise ValueError(f"unknown schedule {schedule!r}; have {SCHEDULES}")
 
 
 def build_optimizer(
     name: str,
-    lr: float = 1e-3,
+    lr=1e-3,
     weight_decay: float = 1e-4,
     momentum: float = 0.9,
 ) -> optax.GradientTransformation:
@@ -29,5 +53,5 @@ def build_optimizer(
     if name == "adagrad":
         return optax.adagrad(lr)
     if name == "lbfgs":
-        return optax.lbfgs(lr)
+        return optax.lbfgs(lr if not callable(lr) else None)
     raise ValueError(f"unknown optimizer {name!r}; have {OPTIMIZERS}")

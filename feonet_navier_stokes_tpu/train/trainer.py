@@ -29,7 +29,7 @@ from ..models import build_model
 from ..parallel import data_mesh, shard_batch, replicate
 from ..problems.base import Problem
 from .metrics import component_errors, trajectory_rel_l2
-from .optimizers import build_optimizer
+from .optimizers import build_optimizer, build_schedule
 
 Array = jax.Array
 
@@ -39,6 +39,8 @@ class TrainConfig:
     model: str = "UNetWithHead"
     optimizer: str = "adam"
     lr: float = 1e-3
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'exponential'
+    lr_final_fraction: float = 0.01
     epochs: int = 2000
     batch_size: int | None = None  # None = full batch (reference default)
     num_train: int = 1000
@@ -95,7 +97,10 @@ class Trainer:
             kwargs.setdefault("seq_len", pc.seq_len)
         self.model = build_model(c.model, d_out=problem.ng, **kwargs)
 
-        self.tx = build_optimizer(c.optimizer, c.lr)
+        schedule = build_schedule(
+            c.lr, c.lr_schedule, c.epochs, c.lr_final_fraction
+        )
+        self.tx = build_optimizer(c.optimizer, schedule)
         self.is_lbfgs = c.optimizer.lower() == "lbfgs"
 
         # --- init params from a 2-sample probe batch ---
