@@ -34,6 +34,10 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seq-len", type=int, default=10)
     p.add_argument("--precond", type=int, default=0, help="SPAI iterations")
     p.add_argument("--mu", type=float, default=None)
+    p.add_argument("--ns-truth", default="weak", choices=["weak", "group"],
+                   help="steady-NS ground-truth system: true trilinear form "
+                        "(FEniCS-like) or the group-FEM training system")
+    p.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
 
 
 def _build_problem(args):
@@ -53,6 +57,8 @@ def _build_problem(args):
         seq_len=args.seq_len,
         precond_iters=args.precond,
         mu=args.mu,
+        ns_truth=args.ns_truth,
+        op_format=args.op_format,
     )
     return build_problem(cfg)
 
