@@ -121,6 +121,13 @@ def cmd_train(args) -> int:
         truth_for_train=not args.no_train_truth,
         model_kwargs=json.loads(args.model_kwargs),
     )
+    if args.precond_file:
+        import numpy as np
+
+        z = np.load(args.precond_file)
+        M = z["precond"] if hasattr(z, "files") else z
+        problem.set_precond(M)
+        print(f"loaded preconditioner from {args.precond_file}")
     trainer = Trainer(problem, tc)
     print(f"model={args.model} params={trainer.n_params:,} ng={problem.ng} "
           f"devices={len(__import__('jax').devices())}")
@@ -217,6 +224,9 @@ def main(argv=None) -> int:
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")
+    t.add_argument("--precond-file", default=None,
+                   help="npy/npz with a precomputed SPAI preconditioner "
+                        "(the reference caches these as precond_*.npy)")
     t.add_argument("--model-kwargs", default="{}",
                    help='JSON dict of model hyperparameters, e.g. '
                         '\'{"head_filters": 32}\'')
