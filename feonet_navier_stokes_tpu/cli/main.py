@@ -131,6 +131,13 @@ def cmd_train(args) -> int:
     trainer = Trainer(problem, tc)
     print(f"model={args.model} params={trainer.n_params:,} ng={problem.ng} "
           f"devices={len(__import__('jax').devices())}")
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..train import Dataset
+
     if args.resume and args.ckpt_dir:
         latest = Trainer.latest_checkpoint(args.ckpt_dir)
         if latest:
@@ -139,7 +146,28 @@ def cmd_train(args) -> int:
     elif args.init_from:
         trainer.load_checkpoint(args.init_from)
         print(f"warm-started from {args.init_from}")
-    train_ds, val_ds = trainer.make_datasets()
+    if args.data_cache and os.path.isfile(args.data_cache):
+        z = np.load(args.data_cache, allow_pickle=True)
+        def _split(prefix):
+            batch = {k[len(prefix) + 7:]: jnp.asarray(z[k])
+                     for k in z.files if k.startswith(prefix + "_batch_")}
+            tkey = f"{prefix}_truth"
+            truth = z[tkey] if tkey in z.files else None
+            return Dataset(batch, truth)
+        train_ds, val_ds = _split("train"), _split("val")
+        print(f"loaded datasets from {args.data_cache}")
+    else:
+        train_ds, val_ds = trainer.make_datasets()
+        if args.data_cache:
+            payload = {}
+            for prefix, ds in (("train", train_ds), ("val", val_ds)):
+                for k, v in ds.batch.items():
+                    payload[f"{prefix}_batch_{k}"] = np.asarray(v)
+                if ds.truth is not None:
+                    payload[f"{prefix}_truth"] = np.asarray(ds.truth)
+            os.makedirs(os.path.dirname(args.data_cache) or ".", exist_ok=True)
+            np.savez(args.data_cache, **payload)
+            print(f"cached datasets -> {args.data_cache}")
     trainer.fit(train_ds, val_ds)
     if args.ckpt_dir:
         print("final checkpoint:", trainer.save_checkpoint(args.ckpt_dir))
@@ -224,6 +252,9 @@ def main(argv=None) -> int:
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")
+    t.add_argument("--data-cache", default=None,
+                   help="npz path: save/load the sampled train/val datasets "
+                        "(skips expensive ground-truth regeneration)")
     t.add_argument("--precond-file", default=None,
                    help="npy/npz with a precomputed SPAI preconditioner "
                         "(the reference caches these as precond_*.npy)")
