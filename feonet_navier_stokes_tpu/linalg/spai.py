@@ -26,21 +26,92 @@ affects early iterates.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+
 import numpy as np
 
 Array = np.ndarray
 
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    """Load (building on first use) the C++ SPAI kernel; None on failure.
+
+    native/spai.cpp fuses the iteration into ~3 n^2 memory passes vs the
+    scipy path's ~8 — the iteration is bandwidth-bound, so this is the
+    first-party native replacement for the reference's external-C++ hot
+    paths (see the .cpp header).
+    """
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    so = os.path.join(_NATIVE_DIR, "libfeonet_native.so")
+    try:
+        if not os.path.isfile(so):
+            subprocess.run(
+                ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.spai_iterate.restype = ctypes.c_int
+        lib.spai_iterate.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+        _native_lib = lib
+    except Exception:
+        _native_lib = None
+    return _native_lib
+
+
+def _spai_native(A_sp, M: np.ndarray, m: int) -> bool:
+    lib = _load_native()
+    if lib is None:
+        return False
+    indptr = np.ascontiguousarray(A_sp.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A_sp.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A_sp.data, dtype=np.float64)
+    rc = lib.spai_iterate(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        M.shape[0],
+        M.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(m),
+    )
+    return rc == 0
+
 
 def spai(A: Array, m: int) -> np.ndarray:
     """m iterations of the SPAI fixed-point; returns the approximate inverse M
-    such that cond(A @ M) ~ 1 (reference cond numbers: BASELINE.md)."""
-    from scipy.sparse import csr_matrix
+    such that cond(A @ M) ~ 1 (reference cond numbers: BASELINE.md).
 
-    A = np.asarray(A, dtype=np.float64)
-    n = A.shape[0]
-    A_sp = csr_matrix(A)
-    one_norm = np.max(np.abs(A @ A.T).sum(axis=0))
-    M = (2.0 / one_norm) * A
+    Uses the native C++ kernel when buildable (bit-identical iteration order
+    within each row), scipy CSR otherwise.
+    """
+    from scipy.sparse import csr_matrix, issparse
+
+    A_sp = A.tocsr() if issparse(A) else csr_matrix(np.asarray(A, np.float64))
+    A_sp.sort_indices()
+    n = A_sp.shape[0]
+    AAt = (A_sp @ A_sp.T).toarray()
+    one_norm = np.max(np.abs(AAt).sum(axis=0))
+    M = np.ascontiguousarray((2.0 / one_norm) * A_sp.toarray())
+    if _spai_native(A_sp, M, int(m)):
+        return M
     eye = np.eye(n)
     for _ in range(int(m)):
         G = eye - A_sp @ M

@@ -155,3 +155,28 @@ def test_newton_steady_ns(space_4x4):
     # residual identity check
     r = ns_residual(u, A, B1, B2, load, space_4x4.n2, conv_row_mask=mask)
     assert float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(load)) < 1e-10
+
+
+def test_native_spai_matches_scipy_path(space_4x4):
+    """The C++ kernel (native/spai.cpp) and the scipy CSR fallback follow the
+    same iteration to float64 rounding."""
+    from feonet_navier_stokes_tpu.linalg.spai import _load_native, _spai_native
+    from scipy.sparse import csr_matrix
+
+    if _load_native() is None:
+        pytest.skip("native kernel not buildable")
+    mask = jnp.asarray(make_bc(space_4x4, square_bcs("lower")).mask)
+    A = np.asarray(apply_bc_matrix(assemble_stokes(space_4x4, mu=0.1), mask))
+    A_sp = csr_matrix(A)
+    A_sp.sort_indices()
+    one_norm = np.max(np.abs((A_sp @ A_sp.T).toarray()).sum(axis=0))
+    M_nat = np.ascontiguousarray((2.0 / one_norm) * A)
+    assert _spai_native(A_sp, M_nat, 500)
+    M_ref = (2.0 / one_norm) * A.copy()
+    eye = np.eye(A.shape[0])
+    for _ in range(500):
+        G = eye - A_sp @ M_ref
+        AG = A_sp @ G
+        alpha = np.sum(G * AG) / np.sum(AG * AG)
+        M_ref += alpha * G
+    np.testing.assert_allclose(M_nat, M_ref, atol=1e-11)
