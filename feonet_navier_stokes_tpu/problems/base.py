@@ -429,7 +429,8 @@ class Problem:
             )
         if c.name == "timedep_stokes":
             return rollout_residual(
-                pred, self.S, self.op_train, self.load_const, c.dt, batch["u_init"]
+                pred, self.S, self.op_train, self.load_const, c.dt,
+                batch["u_init"], precond=self.precond,
             )
         if c.name == "timedep_ns":
             from ..residual import rollout_ns_residual
@@ -437,7 +438,7 @@ class Problem:
             return rollout_ns_residual(
                 pred, self.S, self.op_train, self.load_const, c.dt,
                 batch["u_init"], self.B1, self.B2, self.n2,
-                conv_row_mask=self.conv_row_mask,
+                conv_row_mask=self.conv_row_mask, precond=self.precond,
             )
         return linear_residual(pred, self.op_train, batch["load"])
 

@@ -115,6 +115,7 @@ def rollout_residual(
     load: Array,
     dt: float,
     u_init: Array,
+    precond: Array | None = None,
 ) -> Array:
     """Time-dependent Stokes rollout loss.
 
@@ -132,8 +133,17 @@ def rollout_residual(
     RHS = [u_init, u_1..u_{T-1}] @ S^T + dt*f.
 
     pred_seq: (B, T, ng); u_init: (B, ng); load: (ng,) or (B, ng).
+
+    With SPAI (sys_op = (S+dt*A) @ M) the predictions live in preconditioned
+    coordinates û (physical u = M û), so the self-conditioning S-term must
+    see M û_{t-1} — pass ``precond`` to keep the coordinates consistent
+    (u_init is already physical). The reference never exercises this branch
+    (its timedep runs default do_precond=0, train_FEONet.py:37).
     """
-    prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
+    prev_pred = pred_seq[:, :-1, :]
+    if precond is not None:
+        prev_pred = _mm(prev_pred, precond.T)
+    prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     lhs = _apply_op(pred_seq, sys_op)
     rhs = _apply_op(prev, S) + dt * jnp.broadcast_to(
         load, pred_seq.shape[:1] + load.shape[-1:]
@@ -153,6 +163,7 @@ def rollout_ns_residual(
     B2: Array,
     n2: int,
     conv_row_mask: Array | None = None,
+    precond: Array | None = None,
 ) -> Array:
     """Semi-implicit Navier-Stokes rollout loss (stretch capability — no
     reference counterpart; scheme matches linalg.solvers.
@@ -163,7 +174,10 @@ def rollout_ns_residual(
     with the group-FEM convection on the lagged *prediction* — fully
     parallel over t (one-step shift, two matmuls + the masked quadratic).
     """
-    prev = jnp.concatenate([u_init[:, None, :], pred_seq[:, :-1, :]], axis=1)
+    prev_pred = pred_seq[:, :-1, :]
+    if precond is not None:
+        prev_pred = _mm(prev_pred, precond.T)
+    prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     conv = _masked_conv(prev, B1, B2, n2, conv_row_mask)
     lhs = _apply_op(pred_seq, sys_op)
     rhs = _apply_op(prev, S) + dt * (

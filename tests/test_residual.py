@@ -117,3 +117,28 @@ def test_nonlinear_gradient_finite():
     rhs = jnp.asarray(rng.standard_normal((2, ng)))
     g = jax.grad(lambda u: nonlinear_residual(u, A, rhs, B1, B2, n2))(pred)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rollout_residual_precond_coordinates():
+    """With SPAI the rollout's self-conditioning must map predictions back to
+    physical coordinates (u = M u_hat) before the S-term: the exact
+    trajectory, expressed as u_hat = M^{-1} u, must still zero the loss."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    p = build_problem(
+        ProblemConfig(name="timedep_stokes", bc="lower", nx=4, forcing="five",
+                      seq_len=4, precond_iters=500)
+    )
+    b = p.sample_batch(jax.random.PRNGKey(3), 2)
+    traj = p.ground_truth(b, n_steps=4)
+    Minv = np.linalg.inv(p.precond64)
+    pred_hat = traj[:, 1:] @ Minv.T
+    loss = rollout_residual(
+        pred_hat, p.S, p.op_train, p.load_const, p.config.dt,
+        jnp.asarray(p.u_init64(b)), precond=p.precond,
+    )
+    loss_bad = rollout_residual(
+        pred_hat * 1.01, p.S, p.op_train, p.load_const, p.config.dt,
+        jnp.asarray(p.u_init64(b)), precond=p.precond,
+    )
+    assert float(loss) < 1e-9 * float(loss_bad)
