@@ -117,6 +117,7 @@ def cmd_train(args) -> int:
         seed=args.seed,
         eval_every=args.eval_every,
         ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
         log_path=args.log,
         truth_for_train=not args.no_train_truth,
         model_kwargs=json.loads(args.model_kwargs),
@@ -243,6 +244,8 @@ def main(argv=None) -> int:
     t.add_argument("--num-val", type=int, default=1000)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--eval-every", type=int, default=100)
+    t.add_argument("--ckpt-every", type=int, default=None,
+                   help="checkpoint cadence (default: every eval)")
     t.add_argument("--ckpt-dir", default=None)
     t.add_argument("--log", default=None)
     t.add_argument("--init-from", default=None,

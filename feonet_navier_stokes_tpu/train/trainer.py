@@ -48,6 +48,9 @@ class TrainConfig:
     seed: int = 0
     eval_every: int = 100
     ckpt_dir: str | None = None
+    # checkpoint cadence in epochs (None = every eval). Large models over a
+    # tunneled TPU pay minutes per device_get+write — decouple from eval.
+    ckpt_every: int | None = None
     log_path: str | None = None
     data_parallel: bool = True
     model_kwargs: dict = dataclasses.field(default_factory=dict)
@@ -328,7 +331,8 @@ class Trainer:
                                 if k not in ("epoch", "loss")
                             )
                         )
-                    if c.ckpt_dir:
+                    ck = c.ckpt_every or c.eval_every
+                    if c.ckpt_dir and (epoch % ck == 0 or epoch == epochs):
                         self.save_checkpoint(c.ckpt_dir)
                     window_t0 = time.time()
         finally:
