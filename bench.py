@@ -80,12 +80,12 @@ def measure_steps_per_sec(trainer, batch_d, warm_steps: int = 30):
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
         rng, k = jax.random.split(rng)
-        trainer.state, loss = trainer._train_step(trainer.state, batch_d, k)
+        trainer.state, loss = trainer._train_step(trainer.state, batch_d, k, trainer.ops)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(warm_steps):
         rng, k = jax.random.split(rng)
-        trainer.state, loss = trainer._train_step(trainer.state, batch_d, k)
+        trainer.state, loss = trainer._train_step(trainer.state, batch_d, k, trainer.ops)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     assert float(loss) == float(loss), "NaN loss in benchmark"
@@ -98,7 +98,7 @@ def measure_step_flops(trainer, batch_d) -> float | None:
 
     try:
         lowered = jax.jit(trainer._train_step_impl).lower(
-            trainer.state, batch_d, jax.random.PRNGKey(0)
+            trainer.state, batch_d, jax.random.PRNGKey(0), trainer.ops
         )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):

@@ -190,7 +190,7 @@ def cmd_eval(args) -> int:
     if args.plot:
         from ..viz import tricontourf_compare
 
-        pred = np.asarray(trainer._eval_forward(trainer.state, val_ds.batch))
+        pred = np.asarray(trainer._eval_forward(trainer.state, val_ds.batch, trainer.ops))
         truth = np.asarray(val_ds.truth)
         if truth.ndim == 3:  # time-dependent: plot the final step
             pred, truth = pred[:, -1], truth[:, pred.shape[1]]

@@ -27,63 +27,23 @@ affects early iterates.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
+from .._native import as_f64, as_i32, as_i64, native_lib
+
 Array = np.ndarray
-
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_native_lib = None
-_native_tried = False
-
-
-def _load_native():
-    """Load (building on first use) the C++ SPAI kernel; None on failure.
-
-    native/spai.cpp fuses the iteration into ~3 n^2 memory passes vs the
-    scipy path's ~8 — the iteration is bandwidth-bound, so this is the
-    first-party native replacement for the reference's external-C++ hot
-    paths (see the .cpp header).
-    """
-    global _native_lib, _native_tried
-    if _native_tried:
-        return _native_lib
-    _native_tried = True
-    so = os.path.join(_NATIVE_DIR, "libfeonet_native.so")
-    try:
-        if not os.path.isfile(so):
-            subprocess.run(
-                ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(so)
-        lib.spai_iterate.restype = ctypes.c_int
-        lib.spai_iterate.argtypes = [
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-        ]
-        _native_lib = lib
-    except Exception:
-        _native_lib = None
-    return _native_lib
 
 
 def _spai_native(A_sp, M: np.ndarray, m: int) -> bool:
-    lib = _load_native()
+    """Run the fused C++ iteration (native/spai.cpp: ~3 n^2 memory passes vs
+    numpy's ~8 — the iteration is bandwidth-bound); False -> use scipy."""
+    lib = native_lib()
     if lib is None:
         return False
-    indptr = np.ascontiguousarray(A_sp.indptr, dtype=np.int64)
-    indices = np.ascontiguousarray(A_sp.indices, dtype=np.int32)
-    data = np.ascontiguousarray(A_sp.data, dtype=np.float64)
+    indptr = as_i64(A_sp.indptr)
+    indices = as_i32(A_sp.indices)
+    data = as_f64(A_sp.data)
     rc = lib.spai_iterate(
         indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -159,6 +159,11 @@ def _bsr_kernel(cols_ref, ids_ref, u_ref, blk_ref, out_ref):
         blk_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),  # u @ blk^T
         preferred_element_type=jnp.float32,
+        # Full f32 MXU passes: the TPU default decomposes f32 operands into
+        # bfloat16 passes, flooring the Galerkin residual around 1e-3 — the
+        # same reason residual/losses.py pins Precision.HIGHEST on the dense
+        # path. Measured on v5e: default 2.8e-3 rel err vs dense, HIGHEST 1e-7.
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

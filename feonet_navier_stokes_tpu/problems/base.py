@@ -252,7 +252,10 @@ class Problem:
         """Install a precomputed SPAI preconditioner (e.g. loaded from a cache
         file like the reference's precond_{ne}_{bc}.npy,
         train_FEONet.py:126-136) and rebuild the training operator
-        op = base @ M."""
+        op = base @ M.
+
+        Call BEFORE constructing a Trainer: trainers snapshot ``device_ops``
+        at construction (both CLI paths already do)."""
         c = self.config
         dtype = c.dtype
         M64 = np.asarray(M, dtype=np.float64)
@@ -420,33 +423,56 @@ class Problem:
     # residual loss + prediction un-mapping
     # ------------------------------------------------------------------
 
-    def loss(self, pred: Array, batch: dict[str, Array]) -> Array:
+    @property
+    def device_ops(self) -> dict[str, Any]:
+        """The operator pytree for jitted steps, passed as an ARGUMENT.
+
+        Closure-captured device arrays are baked into the compiled program as
+        literal constants; at the ~50k-DoF BSR scale that is >100 MB of HLO
+        text — which breaks remote compilation (HTTP 413 on tunneled TPU
+        backends) and bloats the executable everywhere. Threading the
+        operators through as arguments keeps them runtime buffers.
+        """
+        ops: dict[str, Any] = {"op_train": self.op_train}
+        for name in ("B1", "B2", "S", "precond", "conv_row_mask"):
+            v = getattr(self, name)
+            if v is not None:
+                ops[name] = v
+        if self.config.name in _TIMEDEP:
+            ops["load_const"] = self.load_const
+        return ops
+
+    def loss(self, pred: Array, batch: dict[str, Array], ops: dict | None = None) -> Array:
         c = self.config
+        if ops is None:
+            ops = self.device_ops
         if c.name == "steady_ns":
             return nonlinear_residual(
-                pred, self.op_train, batch["load"], self.B1, self.B2, self.n2,
-                conv_row_mask=self.conv_row_mask,
+                pred, ops["op_train"], batch["load"], ops["B1"], ops["B2"],
+                self.n2, conv_row_mask=ops.get("conv_row_mask"),
             )
         if c.name == "timedep_stokes":
             return rollout_residual(
-                pred, self.S, self.op_train, self.load_const, c.dt,
-                batch["u_init"], precond=self.precond,
+                pred, ops["S"], ops["op_train"], ops["load_const"], c.dt,
+                batch["u_init"], precond=ops.get("precond"),
             )
         if c.name == "timedep_ns":
             from ..residual import rollout_ns_residual
 
             return rollout_ns_residual(
-                pred, self.S, self.op_train, self.load_const, c.dt,
-                batch["u_init"], self.B1, self.B2, self.n2,
-                conv_row_mask=self.conv_row_mask, precond=self.precond,
+                pred, ops["S"], ops["op_train"], ops["load_const"], c.dt,
+                batch["u_init"], ops["B1"], ops["B2"], self.n2,
+                conv_row_mask=ops.get("conv_row_mask"),
+                precond=ops.get("precond"),
             )
-        return linear_residual(pred, self.op_train, batch["load"])
+        return linear_residual(pred, ops["op_train"], batch["load"])
 
-    def unmap(self, pred: Array) -> Array:
+    def unmap(self, pred: Array, ops: dict | None = None) -> Array:
         """Map network output to solution coefficients (apply SPAI M)."""
-        if self.precond is None:
+        precond = self.precond if ops is None else ops.get("precond")
+        if precond is None:
             return pred
-        return jnp.matmul(pred, self.precond.T, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(pred, precond.T, precision=jax.lax.Precision.HIGHEST)
 
     # ------------------------------------------------------------------
     # ground truth (host float64 — the create_data.py replacement)

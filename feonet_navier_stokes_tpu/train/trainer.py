@@ -26,7 +26,14 @@ import numpy as np
 from flax import struct
 
 from ..models import build_model
-from ..parallel import data_mesh, shard_batch, replicate
+from ..parallel import (
+    data_mesh,
+    data_model_mesh,
+    replicate,
+    shard_batch,
+    shard_ops,
+    shard_params,
+)
 from ..problems.base import Problem
 from .metrics import component_errors, trajectory_rel_l2
 from .optimizers import build_optimizer, build_schedule
@@ -53,6 +60,11 @@ class TrainConfig:
     ckpt_every: int | None = None
     log_path: str | None = None
     data_parallel: bool = True
+    # Tensor (model) parallelism: devices on the 'model' axis of a 2-D
+    # ('data', 'model') mesh. The coefficient head (the Dense producing ng
+    # outputs — ~150M params at the 50k-DoF stretch) is column-sharded and
+    # dense residual operators row-sharded; see parallel/mesh.py. 1 = off.
+    model_axis: int = 1
     model_kwargs: dict = dataclasses.field(default_factory=dict)
     # NaN/Inf guard: skip the update when the loss is non-finite (the
     # reference's batch-skip guards, FEONet_steady_Navier-Stokes/
@@ -124,11 +136,30 @@ class Trainer:
             sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         )
 
-        # --- device mesh (data parallel over all visible chips) ---
+        # --- device mesh ---
+        # model_axis > 1: 2-D ('data', 'model') mesh — coefficient head
+        # column-sharded, dense operators row-sharded (tensor parallel for
+        # the large-ng stretch configs). Otherwise: 1-D data mesh when >1
+        # device is visible (params/operators replicated).
         self.mesh = None
-        if c.data_parallel and len(jax.devices()) > 1:
+        if c.model_axis > 1:
+            self.mesh = data_model_mesh(c.model_axis)
+            self.state = self._place_state(self.state, init_opt=True)
+        elif c.data_parallel and len(jax.devices()) > 1:
             self.mesh = data_mesh()
             self.state = replicate(self.state, self.mesh)
+
+        # Operators are threaded through the jitted step as ARGUMENTS, not
+        # closure constants (closure capture bakes them into the HLO as
+        # literals — >100 MB of program text at the 50k-DoF BSR scale, which
+        # breaks remote compilation and bloats the executable). Snapshot once;
+        # problems mutate operators (set_precond) only before training.
+        self.ops = problem.device_ops
+        if self.mesh is not None:
+            if c.model_axis > 1:
+                self.ops = shard_ops(self.ops, self.mesh)
+            else:
+                self.ops = replicate(self.ops, self.mesh)
 
         # lbfgs opt_state aliases the params buffers — donation would hand
         # the same buffer to XLA twice, so only donate for the others.
@@ -137,6 +168,20 @@ class Trainer:
         self._eval_forward = jax.jit(self._eval_forward_impl)
 
         self.history: list[dict] = []
+
+    def _place_state(self, state: TrainState, init_opt: bool = False) -> TrainState:
+        """Place a TrainState for the tensor-parallel mesh: params with the
+        column-shard layout, optimizer state re-initialized under jit so its
+        moment pytrees inherit the param shardings via SPMD propagation."""
+        params = shard_params(state.params, self.mesh, self.problem.ng)
+        opt_state = (
+            jax.jit(self.tx.init)(params) if init_opt else state.opt_state
+        )
+        batch_stats, step = replicate((state.batch_stats, state.step), self.mesh)
+        return TrainState(
+            params=params, batch_stats=batch_stats,
+            opt_state=opt_state, step=step,
+        )
 
     # ------------------------------------------------------------------
     # datasets (reference seeds: train=5, validate=10)
@@ -181,14 +226,14 @@ class Trainer:
         out = self.model.apply(variables, x, train=train, **kwargs)
         return out, batch_stats
 
-    def _loss_value(self, params, batch_stats, batch, rng):
+    def _loss_value(self, params, batch_stats, batch, rng, ops):
         x = self.problem.model_input(batch, self.config.model)
         out, new_bs = self._apply(params, batch_stats, x, train=True, rng=rng)
-        return self.problem.loss(out, batch), new_bs
+        return self.problem.loss(out, batch, ops), new_bs
 
-    def _train_step_impl(self, state: TrainState, batch, rng):
+    def _train_step_impl(self, state: TrainState, batch, rng, ops):
         def loss_fn(p):
-            return self._loss_value(p, state.batch_stats, batch, rng)
+            return self._loss_value(p, state.batch_stats, batch, rng, ops)
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if self.is_lbfgs:
@@ -218,17 +263,17 @@ class Trainer:
             )
         return new_state, loss
 
-    def _eval_forward_impl(self, state: TrainState, batch):
+    def _eval_forward_impl(self, state: TrainState, batch, ops):
         x = self.problem.model_input(batch, self.config.model)
         out, _ = self._apply(state.params, state.batch_stats, x, train=False)
-        return self.problem.unmap(out)
+        return self.problem.unmap(out, ops)
 
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
 
     def evaluate(self, ds: Dataset) -> dict[str, float]:
-        pred = self._eval_forward(self.state, ds.batch)
+        pred = self._eval_forward(self.state, ds.batch, self.ops)
         out: dict[str, float] = {}
         if ds.truth is None:
             return out
@@ -285,7 +330,9 @@ class Trainer:
                     tracing = True
                 rng, step_rng = jax.random.split(rng)
                 if bs is None:
-                    self.state, loss = self._train_step(self.state, batch, step_rng)
+                    self.state, loss = self._train_step(
+                        self.state, batch, step_rng, self.ops
+                    )
                 else:
                     idx = perm_rng.permutation(n)[: n_batches * bs].reshape(
                         n_batches, bs
@@ -295,7 +342,9 @@ class Trainer:
                         if self.mesh is not None:
                             mb = shard_batch(mb, self.mesh)
                         rng, step_rng = jax.random.split(rng)
-                        self.state, loss = self._train_step(self.state, mb, step_rng)
+                        self.state, loss = self._train_step(
+                            self.state, mb, step_rng, self.ops
+                        )
                 if tracing and epoch >= 12:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
@@ -392,4 +441,7 @@ class Trainer:
             step=jnp.asarray(restored.get("step", 0)),
         )
         if self.mesh is not None:
-            self.state = replicate(self.state, self.mesh)
+            if self.config.model_axis > 1:
+                self.state = self._place_state(self.state, init_opt=params_only)
+            else:
+                self.state = replicate(self.state, self.mesh)

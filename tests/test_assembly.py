@@ -199,3 +199,32 @@ def test_channel_bc_sets(space_4x4):
     # interior pressure unconstrained
     interior = ~(left | right)
     np.testing.assert_array_equal(mask[2 * n2 :][interior], 0.0)
+
+
+def test_native_load_sincos_matches_numpy(space_4x4):
+    """The fused C++ load kernel (native/load.cpp) agrees with the numpy
+    einsum+scatter path to f64 rounding, for both forcing forms."""
+    import feonet_navier_stokes_tpu.fem.assemble as asm
+    from feonet_navier_stokes_tpu.fem.assemble import (
+        _native_load_sincos,
+        physical_quad_points,
+    )
+
+    rng = np.random.default_rng(7)
+    coeffs = np.concatenate(
+        [rng.uniform(size=(5, 2)), np.pi * rng.uniform(size=(5, 4))], axis=1
+    )
+    xq = physical_quad_points(space_4x4, 7)
+    for validate_form in (False, True):
+        nat = _native_load_sincos(space_4x4, coeffs, xq, 7, validate_form)
+        if nat is None:
+            pytest.skip("native library unavailable in this environment")
+        orig = asm._native_load_sincos
+        asm._native_load_sincos = lambda *a, **k: None
+        try:
+            ref = assemble_load_sincos(
+                space_4x4, coeffs, degree=7, validate_form=validate_form
+            )
+        finally:
+            asm._native_load_sincos = orig
+        np.testing.assert_allclose(nat, ref, rtol=1e-13, atol=1e-15)

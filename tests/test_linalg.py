@@ -160,10 +160,11 @@ def test_newton_steady_ns(space_4x4):
 def test_native_spai_matches_scipy_path(space_4x4):
     """The C++ kernel (native/spai.cpp) and the scipy CSR fallback follow the
     same iteration to float64 rounding."""
-    from feonet_navier_stokes_tpu.linalg.spai import _load_native, _spai_native
+    from feonet_navier_stokes_tpu._native import native_lib
+    from feonet_navier_stokes_tpu.linalg.spai import _spai_native
     from scipy.sparse import csr_matrix
 
-    if _load_native() is None:
+    if native_lib() is None:
         pytest.skip("native kernel not buildable")
     mask = jnp.asarray(make_bc(space_4x4, square_bcs("lower")).mask)
     A = np.asarray(apply_bc_matrix(assemble_stokes(space_4x4, mu=0.1), mask))

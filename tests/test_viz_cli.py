@@ -86,7 +86,8 @@ def test_nan_limit_aborts(tiny_problem, monkeypatch):
     import jax.numpy as jnp
 
     monkeypatch.setattr(
-        type(tiny_problem), "loss", lambda self, pred, batch: jnp.float32(jnp.nan)
+        type(tiny_problem), "loss",
+        lambda self, pred, batch, ops=None: jnp.float32(jnp.nan),
     )
     tc = TrainConfig(
         model="FCNN", epochs=50, num_train=8, num_val=4, eval_every=1,
