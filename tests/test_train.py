@@ -191,3 +191,27 @@ def test_tensor_parallel_fit_smoke(small_square):
     hist = tr.fit(train_ds, val_ds, verbose=False)
     assert np.isfinite([h["loss"] for h in hist]).all()
     assert np.isfinite(hist[-1]["coeff"])
+
+
+@pytest.mark.slow
+def test_accuracy_regression_pin(small_square):
+    """Accuracy can't silently rot: the ne=72 channel-flow config after a
+    fixed small budget (1500 epochs, 64 samples, seed 0) must reach the
+    rel-L2 levels measured when this pin was created (coeff 0.080, p 0.0059
+    on 2026-08-16; ceilings give ~2x headroom for backend jitter). The full
+    80k-epoch budget reaches coeff 0.0014 (runs/parity_ext_result.json)."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    p = build_problem(
+        ProblemConfig(name="stokes_square", bc="channel_flow", nx=6)
+    )
+    tc = TrainConfig(
+        model="Net2D", lr=2e-3, epochs=1500, num_train=64, num_val=16,
+        eval_every=500, data_parallel=False, seed=0,
+        model_kwargs={"filters": 16, "kernel_size": 5},
+    )
+    tr = Trainer(p, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["coeff"] < 0.15, hist[-1]
+    assert hist[-1]["p"] < 0.02, hist[-1]

@@ -1,0 +1,116 @@
+"""~50k-DoF stretch training run (SURVEY.md §7 step 7, end to end).
+
+Steady Stokes on a nx=72 structured square: ne=10368 elements, ng=47379
+mixed Taylor-Hood DoFs — ~18.5x the reference's largest config (ne=512 /
+ng=2549, FEONet-square-with-hole/test.ipynb cells 14-16), where a dense f32
+operator would be 9 GB. The run exercises the full large-scale path:
+
+  * host CSR assembly -> Pallas 128x128 block-sparse training operators
+    (ops/block_sparse.py, ProblemConfig(op_format='bsr')),
+  * Net2D with a 151M-param coefficient head (3200 x 47379),
+  * SuperLU sparse-LU ground truth for the validation metrics
+    (linalg/solvers.py `_factorize` sparse path),
+  * label-free Galerkin-residual training on the real TPU chip.
+
+    python tools/stretch_run.py --epochs 20000
+
+Writes runs/stretch47k_train.jsonl (curve) + runs/stretch47k_result.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=72)
+    ap.add_argument("--epochs", type=int, default=20000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="cosine")
+    ap.add_argument("--num-train", type=int, default=256)
+    ap.add_argument("--num-val", type=int, default=64)
+    ap.add_argument("--filters", type=int, default=8)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--log", default="runs/stretch47k_train.jsonl")
+    ap.add_argument("--out", default="runs/stretch47k_result.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
+
+    t0 = time.time()
+    p = build_problem(
+        ProblemConfig(
+            name="stokes_square", bc="channel_flow", nx=args.nx,
+            op_format="bsr",
+        )
+    )
+    op, _ = p.op_train
+    print(
+        f"ng={p.ng} ne={p.space.mesh.num_cells} "
+        f"bsr tiles={op.blocks.shape[0] - 1}/{op.n_row_blocks ** 2} "
+        f"({100 * op.density:.1f}% dense) [{time.time() - t0:.0f}s]"
+    )
+
+    tc = TrainConfig(
+        model="Net2D",
+        lr=args.lr,
+        lr_schedule=args.lr_schedule,
+        epochs=args.epochs,
+        num_train=args.num_train,
+        num_val=args.num_val,
+        eval_every=args.eval_every,
+        log_path=args.log,
+        # label-free training: ground truth (SuperLU) only for the val split
+        truth_for_train=False,
+        model_kwargs={"filters": args.filters, "kernel_size": 5},
+    )
+    trainer = Trainer(p, tc)
+    print(f"model=Net2D params={trainer.n_params:,} "
+          f"backend={jax.default_backend()}")
+
+    t0 = time.time()
+    train_ds, val_ds = trainer.make_datasets()
+    print(f"datasets ready (SuperLU truth for {args.num_val} val samples) "
+          f"[{time.time() - t0:.0f}s]")
+
+    os.makedirs(os.path.dirname(args.log), exist_ok=True)
+    t0 = time.time()
+    hist = trainer.fit(train_ds, val_ds, verbose=True)
+    wall = time.time() - t0
+
+    final = {k: v for k, v in hist[-1].items() if k != "time_per_epoch"}
+    result = {
+        "problem": (
+            f"stokes_square nx={args.nx} (ne={p.space.mesh.num_cells}, "
+            f"ng={p.ng}) channel_flow, Net2D(filters={args.filters}) "
+            f"+ Pallas BSR operators — the ~50k-DoF stretch config "
+            f"(SURVEY.md §7 step 7; no reference counterpart, its largest "
+            f"config is ng=2549)"
+        ),
+        "epochs": args.epochs,
+        "lr": f"{args.lr} {args.lr_schedule}",
+        "n_params": trainer.n_params,
+        "wall_s": round(wall, 1),
+        "steps_per_sec": round(args.epochs / wall, 2),
+        "final": final,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
