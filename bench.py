@@ -9,7 +9,11 @@ with additional tracked fields (BASELINE.json metrics):
                                 create_data.py hot loop's replacement)
   * operator_assembly_ms      — one full Stokes operator assembly at ne=512
   * mfu_pct                   — XLA-reported FLOPs / step-time / v5e peak
-  * bf16_steps_per_sec        — same step with compute_dtype=bfloat16
+  * bf16_steps_per_sec        — same step with compute_dtype=bfloat16 (at
+                                R=20 the convs are tiny, so cast overhead
+                                makes bf16 slightly SLOWER than f32 here;
+                                the entry tracks that the path works and
+                                where the crossover lands as configs grow)
   * bsr_50k_steps_per_sec     — Pallas block-sparse step at the ~47k-DoF
                                 stretch config (op_format='bsr', nx=72)
   * bsr_compiled_max_err      — compiled (non-interpret) BSR kernel vs dense

@@ -120,6 +120,8 @@ def cmd_train(args) -> int:
         ckpt_every=args.ckpt_every,
         log_path=args.log,
         truth_for_train=not args.no_train_truth,
+        loss_mode=args.loss_mode,
+        residual_weight=args.residual_weight,
         model_kwargs=json.loads(args.model_kwargs),
     )
     if args.precond_file:
@@ -252,6 +254,12 @@ def main(argv=None) -> int:
                    help="checkpoint path for warm start (reference NS<-Stokes)")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt-dir")
+    t.add_argument("--loss-mode", default="residual",
+                   choices=["residual", "supervised", "hybrid"],
+                   help="residual = label-free Galerkin (reference method); "
+                        "supervised = MSE vs solver ground truth; hybrid = both")
+    t.add_argument("--residual-weight", type=float, default=1.0,
+                   help="residual term weight for --loss-mode hybrid")
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")

@@ -1,11 +1,13 @@
 """Dense linear algebra: SPAI preconditioner, ground-truth solvers, Newton."""
 
-from .spai import spai, condition_number
+from .spai import spai, spai_sparse, equilibrate, condition_number
 from .solvers import solve_dense, solve_dense_batched, implicit_euler_rollout
 from .newton import masked_convection, ns_residual, newton_solve_ns
 
 __all__ = [
     "spai",
+    "spai_sparse",
+    "equilibrate",
     "condition_number",
     "solve_dense",
     "solve_dense_batched",

@@ -118,6 +118,14 @@ class ProblemConfig:
     #          step 7) where dense operators would be 10 GB. Requires
     #          precond_iters == 0 (a SPAI inverse is dense).
     op_format: str = "dense"
+    # Ruiz two-sided diagonal equilibration of the TRAINING system (steady
+    # linear problems): at large ng the raw Galerkin rows span a huge dynamic
+    # range (unit BC rows vs ~h^2 load entries), so the f32 residual loss
+    # under-weights the physics and sits near the f32 floor. Training solves
+    # diag(dr) A diag(dc) û = dr*f with u = dc*û; sparsity-preserving (the
+    # BSR-scale alternative to SPAI, whose inverse is dense). Ground truth
+    # always uses the raw f64 system.
+    equilibrate: bool = False
     dtype: Any = jnp.float32
 
     def resolved_mu(self) -> float:
@@ -217,9 +225,31 @@ class Problem:
             self.sys64 = (S64 + c.dt * A64).tocsr() if self.is_bsr else S64 + c.dt * A64
             self.sys = None if self.is_bsr else jnp.asarray(self.sys64, dtype=dtype)
 
-        # --- SPAI preconditioner & the training operator ---
+        # --- SPAI / equilibration & the training operator ---
         base64 = self.sys64 if c.name in _TIMEDEP else A64
-        if c.precond_iters > 0:
+        self.equil64 = None
+        self.equil_dc = None
+        if c.equilibrate:
+            if c.precond_iters > 0:
+                raise ValueError("equilibrate and precond_iters are exclusive")
+            if c.name not in ("stokes_square", "stokes_hole"):
+                raise ValueError(
+                    "equilibrate currently supports the steady linear "
+                    "problems only (the nonlinear/rollout residuals consume "
+                    "raw-coordinate predictions)"
+                )
+            from ..linalg import equilibrate as _equilibrate
+
+            base_eq, dr, dc = _equilibrate(base64)
+            self.equil64 = (dr, dc)
+            self.equil_dc = jnp.asarray(dc, dtype=dtype)
+            self.precond64 = None
+            self.precond = None
+            self.op_train = (
+                self._bsr_pair(base_eq) if self.is_bsr
+                else jnp.asarray(base_eq, dtype=dtype)
+            )
+        elif c.precond_iters > 0:
             self.set_precond(spai(base64, c.precond_iters))
         else:
             self.precond64 = None
@@ -300,8 +330,7 @@ class Problem:
         if c.forcing == "sincos":
             coeffs = sample_sincos_coeffs(key, n)  # f32 draws
             batch = {"coeff_f": jnp.asarray(coeffs, dtype=dtype)}
-            load64 = self.load64(batch)
-            batch["load"] = jnp.asarray(load64, dtype=dtype)
+            batch["load"] = jnp.asarray(self._train_load64(batch), dtype=dtype)
             return batch
         if c.forcing == "grf":
             ux64, uy64 = sample_grf(key, self.grf_chol, n)
@@ -313,10 +342,18 @@ class Problem:
                 "grf_ux": jnp.asarray(ux32, dtype=dtype),
                 "grf_uy": jnp.asarray(uy32, dtype=dtype),
             }
-            load64 = self.load64(batch)
-            batch["load"] = jnp.asarray(load64, dtype=dtype)
+            batch["load"] = jnp.asarray(self._train_load64(batch), dtype=dtype)
             return batch
         raise ValueError(f"forcing {c.forcing!r} invalid for {c.name}")
+
+    def _train_load64(self, batch: dict[str, Array]) -> np.ndarray:
+        """The TRAINING right-hand side: the f64 load, row-scaled by dr when
+        the equilibrated system is active (ground truth always consumes the
+        raw ``load64``)."""
+        load64 = self.load64(batch)
+        if self.equil64 is not None:
+            load64 = load64 * self.equil64[0]
+        return load64
 
     def load64(self, batch: dict[str, Array]) -> np.ndarray:
         """(B, ng) float64 BC-lifted load vectors, recomputed exactly from the
@@ -434,7 +471,7 @@ class Problem:
         operators through as arguments keeps them runtime buffers.
         """
         ops: dict[str, Any] = {"op_train": self.op_train}
-        for name in ("B1", "B2", "S", "precond", "conv_row_mask"):
+        for name in ("B1", "B2", "S", "precond", "conv_row_mask", "equil_dc"):
             v = getattr(self, name)
             if v is not None:
                 ops[name] = v
@@ -468,8 +505,12 @@ class Problem:
         return linear_residual(pred, ops["op_train"], batch["load"])
 
     def unmap(self, pred: Array, ops: dict | None = None) -> Array:
-        """Map network output to solution coefficients (apply SPAI M)."""
+        """Map network output to solution coefficients: apply SPAI M, or the
+        equilibration column scale (u = dc * û)."""
         precond = self.precond if ops is None else ops.get("precond")
+        equil_dc = self.equil_dc if ops is None else ops.get("equil_dc")
+        if equil_dc is not None:
+            return pred * equil_dc
         if precond is None:
             return pred
         return jnp.matmul(pred, precond.T, precision=jax.lax.Precision.HIGHEST)

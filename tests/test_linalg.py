@@ -157,6 +157,53 @@ def test_newton_steady_ns(space_4x4):
     assert float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(load)) < 1e-10
 
 
+def test_equilibrate_scaling_identity(stokes_system):
+    """Ruiz equilibration: A_eq == diag(dr) A diag(dc), row/col max-norms ~1,
+    and the scaled solve recovers the raw solution via u = dc * u_hat."""
+    from scipy.sparse import csr_matrix
+
+    from feonet_navier_stokes_tpu.linalg import equilibrate
+
+    _, _, Abc = stokes_system
+    A = np.asarray(Abc)
+    A_eq, dr, dc = equilibrate(A)
+    np.testing.assert_allclose(A_eq, dr[:, None] * A * dc[None, :], rtol=1e-12)
+    assert np.abs(A_eq).max(axis=1).max() < 1.5
+    assert np.abs(A_eq).max(axis=1).min() > 0.5
+    assert np.abs(A_eq).max(axis=0).min() > 0.5
+    # sparse path agrees with the dense path
+    A_eq_sp, dr_sp, dc_sp = equilibrate(csr_matrix(A))
+    np.testing.assert_allclose(A_eq_sp.toarray(), A_eq, rtol=1e-12)
+    np.testing.assert_allclose(dr_sp, dr, rtol=1e-12)
+    # solve round-trip: A_eq u_hat = dr*f  =>  dc*u_hat solves A u = f
+    f = np.random.default_rng(3).standard_normal(A.shape[0])
+    u_hat = np.linalg.solve(A_eq, dr * f)
+    np.testing.assert_allclose(dc * u_hat, np.linalg.solve(A, f), rtol=1e-8)
+
+
+def test_spai_sparse_improves_conditioning(stokes_system):
+    """Static-pattern (Grote-Huckle) SPAI. On the saddle-point Stokes system
+    the pattern of A is too poor to precondition (cond can even worsen —
+    the inverse of an indefinite operator is not A-patterned), but the A**2
+    pattern is a real preconditioner: cond 1861 -> ~12 on the 4x4 channel
+    system, two orders of magnitude, with M still sparse/BSR-tileable."""
+    from scipy.sparse import csc_matrix
+
+    from feonet_navier_stokes_tpu.linalg import spai_sparse
+
+    _, _, Abc = stokes_system
+    A = np.asarray(Abc)
+    c0 = condition_number(A)
+    M_a = spai_sparse(A, pattern="A")
+    # pattern containment: nonzeros of M are a subset of nonzeros of A
+    A_pat = csc_matrix(A)
+    M_pat = M_a.copy()
+    M_pat.data[:] = 1.0
+    assert set(zip(*M_pat.nonzero())) <= set(zip(*A_pat.nonzero()))
+    c2 = condition_number(A @ spai_sparse(A, pattern="A2").toarray())
+    assert c2 < 0.02 * c0, f"{c0} -> {c2}"
+
+
 def test_native_spai_matches_scipy_path(space_4x4):
     """The C++ kernel (native/spai.cpp) and the scipy CSR fallback follow the
     same iteration to float64 rounding."""

@@ -215,3 +215,58 @@ def test_accuracy_regression_pin(small_square):
     hist = tr.fit(train_ds, val_ds, verbose=False)
     assert hist[-1]["coeff"] < 0.15, hist[-1]
     assert hist[-1]["p"] < 0.02, hist[-1]
+
+
+def test_supervised_and_hybrid_modes(small_square):
+    """loss_mode='supervised' trains MSE against the solver ground truth
+    (sidestepping residual conditioning — the large-ng accuracy path);
+    'hybrid' adds the weighted Galerkin residual. Both must reduce loss and
+    produce finite metrics."""
+    for mode in ("supervised", "hybrid"):
+        tc = TrainConfig(
+            model="Net2D", lr=2e-3, epochs=100, num_train=16, num_val=8,
+            eval_every=50, data_parallel=False, loss_mode=mode,
+            residual_weight=0.01, model_kwargs={"filters": 4},
+        )
+        tr = Trainer(small_square, tc)
+        train_ds, val_ds = tr.make_datasets()
+        hist = tr.fit(train_ds, val_ds, verbose=False)
+        assert hist[-1]["loss"] < hist[0]["loss"], mode
+        assert np.isfinite(hist[-1]["coeff"]), mode
+
+
+def test_equilibrated_problem_roundtrip_and_training():
+    """ProblemConfig(equilibrate=True): the training system is the Ruiz-scaled
+    one — exactly solving op_train u_hat = load and unmapping (u = dc*u_hat)
+    must reproduce the RAW-system ground truth; training must still run."""
+    p = build_problem(
+        ProblemConfig(name="stokes_square", bc="lower", nx=4, equilibrate=True)
+    )
+    batch = p.sample_batch(jax.random.PRNGKey(0), 4)
+    # batch["load"] is the row-scaled rhs; ground_truth uses the raw system
+    op = np.asarray(p.op_train, dtype=np.float64)
+    u_hat = np.linalg.solve(op, np.asarray(batch["load"], dtype=np.float64).T).T
+    u = np.asarray(p.unmap(jnp.asarray(u_hat)))
+    truth = p.ground_truth(batch)
+    np.testing.assert_allclose(u, truth, rtol=2e-4, atol=1e-5)
+    tc = TrainConfig(
+        model="FCNN", lr=1e-3, epochs=60, num_train=16, num_val=8,
+        eval_every=30, data_parallel=False, model_kwargs={"hidden_dims": (16,)},
+    )
+    tr = Trainer(p, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert np.isfinite(hist[-1]["coeff"])
+
+
+def test_supervised_requires_truth(small_square):
+    tc = TrainConfig(
+        model="FCNN", epochs=5, num_train=8, num_val=4, loss_mode="supervised",
+        truth_for_train=False, data_parallel=False,
+        model_kwargs={"hidden_dims": (8,)},
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, _ = tr.make_datasets(with_truth=False)
+    with pytest.raises(ValueError, match="truth"):
+        tr.fit(train_ds, None, verbose=False)

@@ -40,6 +40,12 @@ def main() -> int:
     ap.add_argument("--num-val", type=int, default=64)
     ap.add_argument("--filters", type=int, default=8)
     ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--loss-mode", default="residual",
+                    choices=["residual", "supervised", "hybrid"])
+    ap.add_argument("--equilibrate", action="store_true",
+                    help="train on the Ruiz-equilibrated system (see "
+                         "ProblemConfig.equilibrate) — the sparsity-"
+                         "preserving alternative to SPAI at this scale")
     ap.add_argument("--log", default="runs/stretch47k_train.jsonl")
     ap.add_argument("--out", default="runs/stretch47k_result.json")
     args = ap.parse_args()
@@ -53,7 +59,7 @@ def main() -> int:
     p = build_problem(
         ProblemConfig(
             name="stokes_square", bc="channel_flow", nx=args.nx,
-            op_format="bsr",
+            op_format="bsr", equilibrate=args.equilibrate,
         )
     )
     op, _ = p.op_train
@@ -72,8 +78,10 @@ def main() -> int:
         num_val=args.num_val,
         eval_every=args.eval_every,
         log_path=args.log,
-        # label-free training: ground truth (SuperLU) only for the val split
-        truth_for_train=False,
+        loss_mode=args.loss_mode,
+        # residual training is label-free: SuperLU ground truth only for the
+        # val split; supervised/hybrid also need train-split labels
+        truth_for_train=args.loss_mode != "residual",
         model_kwargs={"filters": args.filters, "kernel_size": 5},
     )
     trainer = Trainer(p, tc)
@@ -98,7 +106,9 @@ def main() -> int:
             f"+ Pallas BSR operators — the ~50k-DoF stretch config "
             f"(SURVEY.md §7 step 7; no reference counterpart, its largest "
             f"config is ng=2549)"
+            + (" — Ruiz-equilibrated training system" if args.equilibrate else "")
         ),
+        "loss_mode": args.loss_mode,
         "epochs": args.epochs,
         "lr": f"{args.lr} {args.lr_schedule}",
         "n_params": trainer.n_params,
