@@ -42,6 +42,11 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--loss-mode", default="residual",
                     choices=["residual", "supervised", "hybrid"])
+    ap.add_argument("--residual-weight", type=float, default=1e-5,
+                    help="hybrid-mode residual term weight; at this scale the "
+                         "raw residual (~5e-2 at optimum) dwarfs the "
+                         "supervised MSE (~1e-7), so the default balances "
+                         "their gradient contributions")
     ap.add_argument("--equilibrate", action="store_true",
                     help="train on the Ruiz-equilibrated system (see "
                          "ProblemConfig.equilibrate) — the sparsity-"
@@ -79,6 +84,7 @@ def main() -> int:
         eval_every=args.eval_every,
         log_path=args.log,
         loss_mode=args.loss_mode,
+        residual_weight=args.residual_weight,
         # residual training is label-free: SuperLU ground truth only for the
         # val split; supervised/hybrid also need train-split labels
         truth_for_train=args.loss_mode != "residual",
