@@ -38,6 +38,9 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                    help="steady-NS ground-truth system: true trilinear form "
                         "(FEniCS-like) or the group-FEM training system")
     p.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
+    p.add_argument("--bpx-levels", type=int, default=0,
+                   help="BPX-congruence residual conditioning: number of "
+                        "nested mesh levels (0 = off; stokes_square only)")
 
 
 def _build_problem(args):
@@ -59,6 +62,7 @@ def _build_problem(args):
         mu=args.mu,
         ns_truth=args.ns_truth,
         op_format=args.op_format,
+        bpx_levels=args.bpx_levels,
     )
     return build_problem(cfg)
 

@@ -1,6 +1,7 @@
 """Dense linear algebra: SPAI preconditioner, ground-truth solvers, Newton."""
 
 from .spai import spai, spai_sparse, equilibrate, condition_number
+from .bpx import bpx_factor, p2_interpolation, BPXFactor
 from .solvers import solve_dense, solve_dense_batched, implicit_euler_rollout
 from .newton import masked_convection, ns_residual, newton_solve_ns
 
@@ -8,6 +9,9 @@ __all__ = [
     "spai",
     "spai_sparse",
     "equilibrate",
+    "bpx_factor",
+    "p2_interpolation",
+    "BPXFactor",
     "condition_number",
     "solve_dense",
     "solve_dense_batched",

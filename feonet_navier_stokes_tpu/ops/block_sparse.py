@@ -36,17 +36,32 @@ B_TILE = 256  # batch tile (sublane-friendly multiple of 8)
 
 @dataclasses.dataclass(frozen=True)
 class BlockSparseOperator:
-    """Static BSR operator: 128x128 tiles of a (ng, ng) matrix."""
+    """Static BSR operator: 128x128 tiles of a (ng, n_in) matrix.
+
+    Square by default (n_in == ng); rectangular operators (e.g. the BPX
+    congruence factor G of shape (ng, m)) set n_in/n_in_pad explicitly.
+    Applied as Y = U @ A^T with U of shape (B, n_in) -> Y (B, ng)."""
 
     blocks: Array  # (n_stored, BLK, BLK); blocks[-1] is the zero pad tile
     block_cols: Array  # (n_row_blocks, k_max) int32 U-column-block index
     block_ids: Array  # (n_row_blocks, k_max) int32 index into `blocks`
-    ng: int  # logical (unpadded) size
+    ng: int  # logical (unpadded) output size (matrix rows)
     ng_pad: int  # padded size = n_row_blocks * BLK
+    n_in: int = -1  # logical input size (matrix cols); -1 -> ng (square)
+    n_in_pad: int = -1
+
+    def __post_init__(self):
+        if self.n_in < 0:
+            object.__setattr__(self, "n_in", self.ng)
+            object.__setattr__(self, "n_in_pad", self.ng_pad)
 
     @property
     def n_row_blocks(self) -> int:
         return self.block_cols.shape[0]
+
+    @property
+    def n_col_blocks(self) -> int:
+        return self.n_in_pad // BLK
 
     @property
     def k_max(self) -> int:
@@ -55,7 +70,7 @@ class BlockSparseOperator:
     @property
     def density(self) -> float:
         real = int(jnp.sum(self.block_ids != self.blocks.shape[0] - 1))
-        return real / (self.n_row_blocks**2)
+        return real / (self.n_row_blocks * self.n_col_blocks)
 
     def __call__(self, u: Array) -> Array:
         return bsr_matmat(u, self)
@@ -65,28 +80,29 @@ jax.tree_util.register_pytree_node(
     BlockSparseOperator,
     lambda op: (
         (op.blocks, op.block_cols, op.block_ids),
-        (op.ng, op.ng_pad),
+        (op.ng, op.ng_pad, op.n_in, op.n_in_pad),
     ),
     lambda aux, leaves: BlockSparseOperator(
         blocks=leaves[0], block_cols=leaves[1], block_ids=leaves[2],
-        ng=aux[0], ng_pad=aux[1],
+        ng=aux[0], ng_pad=aux[1], n_in=aux[2], n_in_pad=aux[3],
     ),
 )
 
 
 def bsr_from_dense(A: Array, tol: float = 0.0) -> BlockSparseOperator:
-    """Tile a dense (ng, ng) matrix; keep tiles with any |entry| > tol."""
+    """Tile a dense (ng, n_in) matrix; keep tiles with any |entry| > tol."""
     A = np.asarray(A)
-    ng = A.shape[0]
+    ng, n_in = A.shape
     nb = -(-ng // BLK)
-    ng_pad = nb * BLK
-    Ap = np.zeros((ng_pad, ng_pad), dtype=np.float32)
-    Ap[:ng, :ng] = A
-    tiles = Ap.reshape(nb, BLK, nb, BLK).transpose(0, 2, 1, 3)  # (i, j, BLK, BLK)
-    nnz_mask = np.abs(tiles).max(axis=(2, 3)) > tol  # (nb, nb)
+    nbc = -(-n_in // BLK)
+    ng_pad, n_in_pad = nb * BLK, nbc * BLK
+    Ap = np.zeros((ng_pad, n_in_pad), dtype=np.float32)
+    Ap[:ng, :n_in] = A
+    tiles = Ap.reshape(nb, BLK, nbc, BLK).transpose(0, 2, 1, 3)  # (i, j, BLK, BLK)
+    nnz_mask = np.abs(tiles).max(axis=(2, 3)) > tol  # (nb, nbc)
     k_max = max(int(nnz_mask.sum(axis=1).max()), 1)
 
-    stored = [tiles[i, j] for i in range(nb) for j in range(nb) if nnz_mask[i, j]]
+    stored = [tiles[i, j] for i in range(nb) for j in range(nbc) if nnz_mask[i, j]]
     zero_id = len(stored)
     stored.append(np.zeros((BLK, BLK), dtype=np.float32))
 
@@ -95,7 +111,7 @@ def bsr_from_dense(A: Array, tol: float = 0.0) -> BlockSparseOperator:
     sid = 0
     for i in range(nb):
         k = 0
-        for j in range(nb):
+        for j in range(nbc):
             if nnz_mask[i, j]:
                 cols[i, k] = j
                 ids[i, k] = sid
@@ -107,6 +123,8 @@ def bsr_from_dense(A: Array, tol: float = 0.0) -> BlockSparseOperator:
         block_ids=jnp.asarray(ids),
         ng=ng,
         ng_pad=ng_pad,
+        n_in=n_in,
+        n_in_pad=n_in_pad,
     )
 
 
@@ -120,10 +138,12 @@ def bsr_from_csr(A_csr) -> BlockSparseOperator:
     from scipy.sparse import csr_matrix
 
     A_csr = csr_matrix(A_csr, copy=True).astype(np.float32)
-    ng = A_csr.shape[0]
+    ng, n_in = A_csr.shape
     nb = -(-ng // BLK)
+    nbc = -(-n_in // BLK)
     ng_pad = nb * BLK
-    A_csr.resize((ng_pad, ng_pad))
+    n_in_pad = nbc * BLK
+    A_csr.resize((ng_pad, n_in_pad))
     bsr = A_csr.tobsr(blocksize=(BLK, BLK))
     bsr.sort_indices()
     data = np.ascontiguousarray(bsr.data, dtype=np.float32)  # (nnzb, BLK, BLK)
@@ -144,6 +164,8 @@ def bsr_from_csr(A_csr) -> BlockSparseOperator:
         block_ids=jnp.asarray(ids),
         ng=ng,
         ng_pad=ng_pad,
+        n_in=n_in,
+        n_in_pad=n_in_pad,
     )
 
 
@@ -192,11 +214,11 @@ bsr_apply.defvjp(_bsr_apply_fwd, _bsr_apply_bwd)
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _bsr_matmat_impl(u: Array, op: BlockSparseOperator, interpret: bool) -> Array:
-    B, ng = u.shape
-    assert ng == op.ng, (ng, op.ng)
+    B, n_in = u.shape
+    assert n_in == op.n_in, (n_in, op.n_in)
     b_pad = -(-B // B_TILE) * B_TILE
-    u_p = jnp.zeros((b_pad, op.ng_pad), dtype=jnp.float32)
-    u_p = u_p.at[:B, :ng].set(u.astype(jnp.float32))
+    u_p = jnp.zeros((b_pad, op.n_in_pad), dtype=jnp.float32)
+    u_p = u_p.at[:B, :n_in].set(u.astype(jnp.float32))
 
     grid = (op.n_row_blocks, b_pad // B_TILE, op.k_max)
     out = pl.pallas_call(
@@ -222,11 +244,11 @@ def _bsr_matmat_impl(u: Array, op: BlockSparseOperator, interpret: bool) -> Arra
         out_shape=jax.ShapeDtypeStruct((b_pad, op.ng_pad), jnp.float32),
         interpret=interpret,
     )(op.block_cols, op.block_ids, u_p, op.blocks)
-    return out[:B, :ng].astype(u.dtype)
+    return out[:B, : op.ng].astype(u.dtype)
 
 
 def bsr_matmat(u: Array, op: BlockSparseOperator, interpret: bool | None = None) -> Array:
-    """Y = U @ A^T for U of shape (B, ng). Returns (B, ng).
+    """Y = U @ A^T for U of shape (B, n_in). Returns (B, ng).
 
     Runs the compiled Pallas kernel on TPU; falls back to the Pallas
     interpreter on CPU (tests / virtual-device meshes)."""

@@ -126,6 +126,14 @@ class ProblemConfig:
     # BSR-scale alternative to SPAI, whose inverse is dense). Ground truth
     # always uses the raw f64 system.
     equilibrate: bool = False
+    # BPX-congruence conditioning of the label-free residual objective
+    # (linalg/bpx.py): >0 = number of nested mesh levels. The network emits
+    # m ~ 1.4*ng coefficients w; training solves the O(1)-conditioned
+    # G^T A G w = G^T(f - A u_bc) and u = G w + u_bc imposes BCs exactly.
+    # The scalable (sparse, BSR-tileable) replacement for dense SPAI at the
+    # ~50k-DoF stretch scale. stokes_square only (needs the structured
+    # nested-mesh hierarchy).
+    bpx_levels: int = 0
     dtype: Any = jnp.float32
 
     def resolved_mu(self) -> float:
@@ -225,11 +233,50 @@ class Problem:
             self.sys64 = (S64 + c.dt * A64).tocsr() if self.is_bsr else S64 + c.dt * A64
             self.sys = None if self.is_bsr else jnp.asarray(self.sys64, dtype=dtype)
 
-        # --- SPAI / equilibration & the training operator ---
+        # --- SPAI / equilibration / BPX & the training operator ---
         base64 = self.sys64 if c.name in _TIMEDEP else A64
         self.equil64 = None
         self.equil_dc = None
-        if c.equilibrate:
+        self.bpx64 = None
+        self.bpx_G = None
+        self.bpx_ubc = None
+        if c.bpx_levels > 0:
+            if c.precond_iters > 0 or c.equilibrate:
+                raise ValueError("bpx_levels is exclusive of precond_iters/"
+                                 "equilibrate")
+            if c.name != "stokes_square":
+                raise ValueError(
+                    "bpx_levels requires the structured nested-mesh "
+                    "hierarchy (stokes_square only)"
+                )
+            from scipy.sparse import csr_matrix as _csr
+
+            from ..linalg.bpx import bpx_factor
+
+            fac = bpx_factor(
+                space, c.nx, bc.mask, bc.values, c.bc, mu,
+                levels=c.bpx_levels,
+            )
+            self.bpx64 = fac
+            A_raw_sp = _csr(A_raw)
+            Ahat64 = (fac.G.T @ A_raw_sp @ fac.G).tocsr()
+            Ahat64.sum_duplicates()
+            self.bpx_lift64 = A_raw_sp @ fac.u_bc  # (ng,)
+            self.precond64 = None
+            self.precond = None
+            if self.is_bsr:
+                self.op_train = self._bsr_pair(Ahat64)
+                from ..ops.block_sparse import bsr_from_csr
+
+                self.bpx_G = (
+                    bsr_from_csr(fac.G),
+                    bsr_from_csr(fac.G.T.tocsr()),
+                )
+            else:
+                self.op_train = jnp.asarray(Ahat64.toarray(), dtype=dtype)
+                self.bpx_G = jnp.asarray(fac.G.toarray(), dtype=dtype)
+            self.bpx_ubc = jnp.asarray(fac.u_bc, dtype=dtype)
+        elif c.equilibrate:
             if c.precond_iters > 0:
                 raise ValueError("equilibrate and precond_iters are exclusive")
             if c.name not in ("stokes_square", "stokes_hole"):
@@ -303,6 +350,12 @@ class Problem:
         return self.space.ng
 
     @property
+    def d_out(self) -> int:
+        """Network output dimension: ng, or m under the BPX congruence
+        (the network emits w-coordinates, unmap maps them to coefficients)."""
+        return self.bpx64.m if self.bpx64 is not None else self.space.ng
+
+    @property
     def n2(self) -> int:
         return self.space.n2
 
@@ -348,16 +401,21 @@ class Problem:
 
     def _train_load64(self, batch: dict[str, Array]) -> np.ndarray:
         """The TRAINING right-hand side: the f64 load, row-scaled by dr when
-        the equilibrated system is active (ground truth always consumes the
-        raw ``load64``)."""
+        the equilibrated system is active, or G^T-projected with the BC lift
+        under BPX (ground truth always consumes the raw ``load64``)."""
+        if self.bpx64 is not None:
+            raw = self.load64(batch, raw=True) - self.bpx_lift64[None, :]
+            return self.bpx64.G.T.dot(raw.T).T  # (B, m)
         load64 = self.load64(batch)
         if self.equil64 is not None:
             load64 = load64 * self.equil64[0]
         return load64
 
-    def load64(self, batch: dict[str, Array]) -> np.ndarray:
-        """(B, ng) float64 BC-lifted load vectors, recomputed exactly from the
-        float32 sample parameters (the create_data.py f64 contract)."""
+    def load64(self, batch: dict[str, Array], raw: bool = False) -> np.ndarray:
+        """(B, ng) float64 load vectors, recomputed exactly from the float32
+        sample parameters (the create_data.py f64 contract). BC rows are
+        overwritten with the BC values unless ``raw=True`` (the BPX path,
+        which imposes BCs by lifting instead)."""
         c = self.config
         if c.name in _TIMEDEP:
             raise ValueError("time-dependent problems use load_const64")
@@ -372,6 +430,8 @@ class Problem:
                 np.asarray(batch["grf_ux"], dtype=np.float64),
                 np.asarray(batch["grf_uy"], dtype=np.float64),
             )
+        if raw:
+            return load
         return apply_bc_vector(load, self.bc.mask, self.bc.values)
 
     def _project_velocity_ic(self, values_fn) -> np.ndarray:
@@ -471,7 +531,8 @@ class Problem:
         operators through as arguments keeps them runtime buffers.
         """
         ops: dict[str, Any] = {"op_train": self.op_train}
-        for name in ("B1", "B2", "S", "precond", "conv_row_mask", "equil_dc"):
+        for name in ("B1", "B2", "S", "precond", "conv_row_mask", "equil_dc",
+                     "bpx_G", "bpx_ubc"):
             v = getattr(self, name)
             if v is not None:
                 ops[name] = v
@@ -505,10 +566,24 @@ class Problem:
         return linear_residual(pred, ops["op_train"], batch["load"])
 
     def unmap(self, pred: Array, ops: dict | None = None) -> Array:
-        """Map network output to solution coefficients: apply SPAI M, or the
-        equilibration column scale (u = dc * û)."""
+        """Map network output to solution coefficients: apply SPAI M, the
+        equilibration column scale (u = dc * û), or the BPX congruence
+        factor + exact BC lift (u = G w + u_bc)."""
         precond = self.precond if ops is None else ops.get("precond")
         equil_dc = self.equil_dc if ops is None else ops.get("equil_dc")
+        bpx_G = self.bpx_G if ops is None else ops.get("bpx_G")
+        if bpx_G is not None:
+            ubc = self.bpx_ubc if ops is None else ops["bpx_ubc"]
+            if isinstance(bpx_G, tuple):
+                from ..ops.block_sparse import bsr_apply
+
+                flat = pred.reshape(-1, pred.shape[-1])
+                u = bsr_apply(flat, bpx_G[0], bpx_G[1])
+                u = u.reshape(pred.shape[:-1] + (u.shape[-1],))
+            else:
+                u = jnp.matmul(pred, bpx_G.T,
+                               precision=jax.lax.Precision.HIGHEST)
+            return u + ubc
         if equil_dc is not None:
             return pred * equil_dc
         if precond is None:

@@ -121,7 +121,7 @@ class Trainer:
         kwargs = dict(c.model_kwargs)
         if pc.name.startswith("timedep") and c.model in ("UNet2D", "UNetTemporal", "UNet1D", "RNN"):
             kwargs.setdefault("seq_len", pc.seq_len)
-        self.model = build_model(c.model, d_out=problem.ng, **kwargs)
+        self.model = build_model(c.model, d_out=problem.d_out, **kwargs)
 
         schedule = build_schedule(
             c.lr, c.lr_schedule, c.epochs, c.lr_final_fraction
@@ -184,7 +184,7 @@ class Trainer:
         """Place a TrainState for the tensor-parallel mesh: params with the
         column-shard layout, optimizer state re-initialized under jit so its
         moment pytrees inherit the param shardings via SPMD propagation."""
-        params = shard_params(state.params, self.mesh, self.problem.ng)
+        params = shard_params(state.params, self.mesh, self.problem.d_out)
         opt_state = (
             jax.jit(self.tx.init)(params) if init_opt else state.opt_state
         )

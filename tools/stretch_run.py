@@ -47,6 +47,10 @@ def main() -> int:
                          "raw residual (~5e-2 at optimum) dwarfs the "
                          "supervised MSE (~1e-7), so the default balances "
                          "their gradient contributions")
+    ap.add_argument("--bpx-levels", type=int, default=0,
+                    help="BPX-congruence residual conditioning (linalg/"
+                         "bpx.py): nested mesh levels; the label-free path "
+                         "at this scale (0 = off)")
     ap.add_argument("--equilibrate", action="store_true",
                     help="train on the Ruiz-equilibrated system (see "
                          "ProblemConfig.equilibrate) — the sparsity-"
@@ -65,6 +69,7 @@ def main() -> int:
         ProblemConfig(
             name="stokes_square", bc="channel_flow", nx=args.nx,
             op_format="bsr", equilibrate=args.equilibrate,
+            bpx_levels=args.bpx_levels,
         )
     )
     op, _ = p.op_train
@@ -113,6 +118,8 @@ def main() -> int:
             f"(SURVEY.md §7 step 7; no reference counterpart, its largest "
             f"config is ng=2549)"
             + (" — Ruiz-equilibrated training system" if args.equilibrate else "")
+            + (f" — BPX({args.bpx_levels})-congruence residual"
+               if args.bpx_levels else "")
         ),
         "loss_mode": args.loss_mode,
         "epochs": args.epochs,
