@@ -114,6 +114,7 @@ def cmd_train(args) -> int:
         optimizer=args.optimizer,
         lr=args.lr,
         lr_schedule=args.lr_schedule,
+        grad_clip=args.grad_clip,
         epochs=args.epochs,
         batch_size=args.batch_size,
         num_train=args.num_train,
@@ -244,6 +245,8 @@ def main(argv=None) -> int:
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--lr-schedule", default="constant",
                    choices=["constant", "cosine", "exponential"])
+    t.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off)")
     t.add_argument("--epochs", type=int, default=80000)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--num-train", type=int, default=1000)

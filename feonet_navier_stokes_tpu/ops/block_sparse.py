@@ -6,15 +6,27 @@ dense (ng, ng) matmuls are fine, but the ~50k-DoF stretch config
 HBM-bound on mostly zeros. A Taylor-Hood stiffness row has ~20-50 nonzeros,
 so with 128x128 MXU tiles the operator is >95% empty at 50k DoFs.
 
-Format: 128x128 dense tiles, only nonzero tiles stored (one extra all-zero
-tile used as padding target). Per row-block, the tile column indices and
-storage ids are scalar-prefetched (pltpu.PrefetchScalarGridSpec) so the
-pipeline can issue the U-tile DMA for (row i, nnz k) before the body runs —
-the canonical TPU block-sparse matmul pattern.
+Format: 128x128 dense tiles, only nonzero tiles stored, streamed in CSR
+order as FLAT per-tile index arrays (tile_row / tile_col / tile_id /
+tile_first). The grid iterates over stored tiles only — not over a padded
+(n_row_blocks, k_max) table — which matters twice on real TPUs:
+
+  * SMEM: the scalar-prefetch tables are O(n_stored_tiles), not
+    O(n_row_blocks * k_max). The BPX congruence operator (linalg/bpx.py)
+    has k_max=257 (its coarsest-level rows are dense) — the padded layout
+    needs 1.4 MB of SMEM against the 1 MB budget and fails to compile; the
+    flat layout needs ~240 KB.
+  * compute: no zero-padded tile iterations — the BPX operator runs ~8x
+    fewer grid steps than the padded layout would.
+
+Consecutive tiles of one row-block accumulate into the same output tile
+(tile_first flags the zero-init), the canonical Pallas revisiting pattern;
+per-tile index maps are scalar-prefetched (pltpu.PrefetchScalarGridSpec) so
+the pipeline issues each tile's DMA ahead of the body.
 
 Computes Y = U @ A^T (batch-major residual application, matching
-residual/losses.py conventions): Y[:, 128 i : 128(i+1)] =
-    sum_k U[:, 128 c_ik : 128(c_ik+1)] @ blocks[id_ik]^T.
+residual/losses.py conventions). Operators may be rectangular (ng, n_in) —
+e.g. the BPX factor G — applied to U of shape (B, n_in).
 """
 
 from __future__ import annotations
@@ -38,15 +50,17 @@ B_TILE = 256  # batch tile (sublane-friendly multiple of 8)
 class BlockSparseOperator:
     """Static BSR operator: 128x128 tiles of a (ng, n_in) matrix.
 
-    Square by default (n_in == ng); rectangular operators (e.g. the BPX
-    congruence factor G of shape (ng, m)) set n_in/n_in_pad explicitly.
-    Applied as Y = U @ A^T with U of shape (B, n_in) -> Y (B, ng)."""
+    Tiles are streamed in CSR (row-major) order; every row-block has at
+    least one entry (empty row-blocks get one reference to the trailing
+    zero tile so their output is zero-initialized)."""
 
-    blocks: Array  # (n_stored, BLK, BLK); blocks[-1] is the zero pad tile
-    block_cols: Array  # (n_row_blocks, k_max) int32 U-column-block index
-    block_ids: Array  # (n_row_blocks, k_max) int32 index into `blocks`
+    blocks: Array  # (n_stored + 1, BLK, BLK); blocks[-1] is the zero tile
+    tile_row: Array  # (n_steps,) int32 output row-block index
+    tile_col: Array  # (n_steps,) int32 U column-block index
+    tile_id: Array  # (n_steps,) int32 index into `blocks`
+    tile_first: Array  # (n_steps,) int32, 1 at the first tile of a row-block
     ng: int  # logical (unpadded) output size (matrix rows)
-    ng_pad: int  # padded size = n_row_blocks * BLK
+    ng_pad: int
     n_in: int = -1  # logical input size (matrix cols); -1 -> ng (square)
     n_in_pad: int = -1
 
@@ -57,19 +71,19 @@ class BlockSparseOperator:
 
     @property
     def n_row_blocks(self) -> int:
-        return self.block_cols.shape[0]
+        return self.ng_pad // BLK
 
     @property
     def n_col_blocks(self) -> int:
         return self.n_in_pad // BLK
 
     @property
-    def k_max(self) -> int:
-        return self.block_cols.shape[1]
+    def n_steps(self) -> int:
+        return self.tile_row.shape[0]
 
     @property
     def density(self) -> float:
-        real = int(jnp.sum(self.block_ids != self.blocks.shape[0] - 1))
+        real = int(jnp.sum(self.tile_id != self.blocks.shape[0] - 1))
         return real / (self.n_row_blocks * self.n_col_blocks)
 
     def __call__(self, u: Array) -> Array:
@@ -79,14 +93,36 @@ class BlockSparseOperator:
 jax.tree_util.register_pytree_node(
     BlockSparseOperator,
     lambda op: (
-        (op.blocks, op.block_cols, op.block_ids),
+        (op.blocks, op.tile_row, op.tile_col, op.tile_id, op.tile_first),
         (op.ng, op.ng_pad, op.n_in, op.n_in_pad),
     ),
     lambda aux, leaves: BlockSparseOperator(
-        blocks=leaves[0], block_cols=leaves[1], block_ids=leaves[2],
+        blocks=leaves[0], tile_row=leaves[1], tile_col=leaves[2],
+        tile_id=leaves[3], tile_first=leaves[4],
         ng=aux[0], ng_pad=aux[1], n_in=aux[2], n_in_pad=aux[3],
     ),
 )
+
+
+def _flat_layout(nb: int, indptr, indices):
+    """CSR block structure -> flat (row, col, id, first) streams with a
+    zero-tile entry for every empty row-block (id = n_stored)."""
+    n_stored = int(indptr[-1])
+    rows, cols, ids, firsts = [], [], [], []
+    for i in range(nb):
+        lo, hi = int(indptr[i]), int(indptr[i + 1])
+        if hi == lo:  # empty row-block: one zero-tile step to init output
+            rows.append([i])
+            cols.append([0])
+            ids.append([n_stored])
+            firsts.append([1])
+        else:
+            rows.append([i] * (hi - lo))
+            cols.append(list(indices[lo:hi]))
+            ids.append(list(range(lo, hi)))
+            firsts.append([1] + [0] * (hi - lo - 1))
+    cat = lambda x: np.asarray(sum(x, []), dtype=np.int32)
+    return cat(rows), cat(cols), cat(ids), cat(firsts)
 
 
 def bsr_from_dense(A: Array, tol: float = 0.0) -> BlockSparseOperator:
@@ -100,31 +136,21 @@ def bsr_from_dense(A: Array, tol: float = 0.0) -> BlockSparseOperator:
     Ap[:ng, :n_in] = A
     tiles = Ap.reshape(nb, BLK, nbc, BLK).transpose(0, 2, 1, 3)  # (i, j, BLK, BLK)
     nnz_mask = np.abs(tiles).max(axis=(2, 3)) > tol  # (nb, nbc)
-    k_max = max(int(nnz_mask.sum(axis=1).max()), 1)
-
     stored = [tiles[i, j] for i in range(nb) for j in range(nbc) if nnz_mask[i, j]]
-    zero_id = len(stored)
     stored.append(np.zeros((BLK, BLK), dtype=np.float32))
-
-    cols = np.zeros((nb, k_max), dtype=np.int32)
-    ids = np.full((nb, k_max), zero_id, dtype=np.int32)
-    sid = 0
-    for i in range(nb):
-        k = 0
-        for j in range(nbc):
-            if nnz_mask[i, j]:
-                cols[i, k] = j
-                ids[i, k] = sid
-                sid += 1
-                k += 1
+    counts = nnz_mask.sum(axis=1)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    indices = np.concatenate(
+        [np.flatnonzero(nnz_mask[i]) for i in range(nb)]
+    ) if counts.sum() else np.zeros(0, dtype=np.int64)
+    row, col, ids, first = _flat_layout(nb, indptr, indices)
     return BlockSparseOperator(
         blocks=jnp.asarray(np.stack(stored)),
-        block_cols=jnp.asarray(cols),
-        block_ids=jnp.asarray(ids),
-        ng=ng,
-        ng_pad=ng_pad,
-        n_in=n_in,
-        n_in_pad=n_in_pad,
+        tile_row=jnp.asarray(row),
+        tile_col=jnp.asarray(col),
+        tile_id=jnp.asarray(ids),
+        tile_first=jnp.asarray(first),
+        ng=ng, ng_pad=ng_pad, n_in=n_in, n_in_pad=n_in_pad,
     )
 
 
@@ -141,38 +167,27 @@ def bsr_from_csr(A_csr) -> BlockSparseOperator:
     ng, n_in = A_csr.shape
     nb = -(-ng // BLK)
     nbc = -(-n_in // BLK)
-    ng_pad = nb * BLK
-    n_in_pad = nbc * BLK
+    ng_pad, n_in_pad = nb * BLK, nbc * BLK
     A_csr.resize((ng_pad, n_in_pad))
     bsr = A_csr.tobsr(blocksize=(BLK, BLK))
     bsr.sort_indices()
     data = np.ascontiguousarray(bsr.data, dtype=np.float32)  # (nnzb, BLK, BLK)
-    indptr, indices = bsr.indptr, bsr.indices
-    counts = np.diff(indptr)
-    k_max = max(int(counts.max()), 1)
-    zero_id = data.shape[0]
     blocks = np.concatenate([data, np.zeros((1, BLK, BLK), dtype=np.float32)])
-    cols = np.zeros((nb, k_max), dtype=np.int32)
-    ids = np.full((nb, k_max), zero_id, dtype=np.int32)
-    for i in range(nb):
-        lo, hi = indptr[i], indptr[i + 1]
-        cols[i, : hi - lo] = indices[lo:hi]
-        ids[i, : hi - lo] = np.arange(lo, hi)
+    row, col, ids, first = _flat_layout(nb, bsr.indptr, bsr.indices)
     return BlockSparseOperator(
         blocks=jnp.asarray(blocks),
-        block_cols=jnp.asarray(cols),
-        block_ids=jnp.asarray(ids),
-        ng=ng,
-        ng_pad=ng_pad,
-        n_in=n_in,
-        n_in_pad=n_in_pad,
+        tile_row=jnp.asarray(row),
+        tile_col=jnp.asarray(col),
+        tile_id=jnp.asarray(ids),
+        tile_first=jnp.asarray(first),
+        ng=ng, ng_pad=ng_pad, n_in=n_in, n_in_pad=n_in_pad,
     )
 
 
-def _bsr_kernel(cols_ref, ids_ref, u_ref, blk_ref, out_ref):
-    k = pl.program_id(2)
+def _bsr_kernel(row_ref, col_ref, id_ref, first_ref, u_ref, blk_ref, out_ref):
+    t = pl.program_id(1)
 
-    @pl.when(k == 0)
+    @pl.when(first_ref[t] == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -196,7 +211,7 @@ def bsr_apply(u: Array, op: BlockSparseOperator, op_t: BlockSparseOperator) -> A
     d/dU [U A^T] applied to cotangent G is G @ A = bsr_matmat(G, op_t) —
     another block-sparse product, so the backward pass never materializes a
     dense operator either. Build op_t once with
-    ``bsr_from_dense(A.T)`` alongside the forward operator.
+    ``bsr_from_csr(A.T)`` alongside the forward operator.
     """
     return bsr_matmat(u, op)
 
@@ -220,30 +235,32 @@ def _bsr_matmat_impl(u: Array, op: BlockSparseOperator, interpret: bool) -> Arra
     u_p = jnp.zeros((b_pad, op.n_in_pad), dtype=jnp.float32)
     u_p = u_p.at[:B, :n_in].set(u.astype(jnp.float32))
 
-    grid = (op.n_row_blocks, b_pad // B_TILE, op.k_max)
+    # t (stored-tile stream) is the INNER grid dim: consecutive tiles of one
+    # row-block accumulate into the same output tile before it is flushed.
+    grid = (b_pad // B_TILE, op.n_steps)
     out = pl.pallas_call(
         _bsr_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
                     (B_TILE, BLK),
-                    lambda i, j, k, cols, ids: (j, cols[i, k]),
+                    lambda j, t, row, col, ids, first: (j, col[t]),
                 ),
                 pl.BlockSpec(
                     (1, BLK, BLK),
-                    lambda i, j, k, cols, ids: (ids[i, k], 0, 0),
+                    lambda j, t, row, col, ids, first: (ids[t], 0, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (B_TILE, BLK),
-                lambda i, j, k, cols, ids: (j, i),
+                lambda j, t, row, col, ids, first: (j, row[t]),
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, op.ng_pad), jnp.float32),
         interpret=interpret,
-    )(op.block_cols, op.block_ids, u_p, op.blocks)
+    )(op.tile_row, op.tile_col, op.tile_id, op.tile_first, u_p, op.blocks)
     return out[:B, : op.ng].astype(u.dtype)
 
 

@@ -42,16 +42,25 @@ def build_optimizer(
     lr=1e-3,
     weight_decay: float = 1e-4,
     momentum: float = 0.9,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
+    """grad_clip > 0 prepends global-norm clipping — the stabilizer for the
+    full-batch residual objectives, whose loss landscape produces the
+    late-training spikes the reference's constant-lr runs show (and which
+    recur on the BPX-conditioned 47k objective at cosine-peak lr)."""
     name = name.lower()
     if name == "adam":
-        return optax.adam(lr)
-    if name == "adamw":
-        return optax.adamw(lr, weight_decay=weight_decay)
-    if name == "sgd":
-        return optax.sgd(lr, momentum=momentum)
-    if name == "adagrad":
-        return optax.adagrad(lr)
-    if name == "lbfgs":
-        return optax.lbfgs(lr if not callable(lr) else None)
-    raise ValueError(f"unknown optimizer {name!r}; have {OPTIMIZERS}")
+        tx = optax.adam(lr)
+    elif name == "adamw":
+        tx = optax.adamw(lr, weight_decay=weight_decay)
+    elif name == "sgd":
+        tx = optax.sgd(lr, momentum=momentum)
+    elif name == "adagrad":
+        tx = optax.adagrad(lr)
+    elif name == "lbfgs":
+        tx = optax.lbfgs(lr if not callable(lr) else None)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}; have {OPTIMIZERS}")
+    if grad_clip and grad_clip > 0 and name != "lbfgs":
+        return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx

@@ -48,6 +48,9 @@ class TrainConfig:
     lr: float = 1e-3
     lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'exponential'
     lr_final_fraction: float = 0.01
+    # global-norm gradient clipping (0 = off, the reference behavior);
+    # stabilizes full-batch residual training against loss spikes
+    grad_clip: float = 0.0
     epochs: int = 2000
     batch_size: int | None = None  # None = full batch (reference default)
     num_train: int = 1000
@@ -126,7 +129,7 @@ class Trainer:
         schedule = build_schedule(
             c.lr, c.lr_schedule, c.epochs, c.lr_final_fraction
         )
-        self.tx = build_optimizer(c.optimizer, schedule)
+        self.tx = build_optimizer(c.optimizer, schedule, grad_clip=c.grad_clip)
         self.is_lbfgs = c.optimizer.lower() == "lbfgs"
 
         # --- init params from a 2-sample probe batch ---

@@ -260,6 +260,20 @@ def test_equilibrated_problem_roundtrip_and_training():
     assert np.isfinite(hist[-1]["coeff"])
 
 
+def test_grad_clip_trains(small_square):
+    """grad_clip>0 chains global-norm clipping before Adam; training still
+    reduces the loss (stabilizer for full-batch residual spikes)."""
+    tc = TrainConfig(
+        model="FCNN", lr=2e-3, epochs=100, num_train=16, num_val=8,
+        eval_every=50, data_parallel=False, grad_clip=1.0,
+        model_kwargs={"hidden_dims": (16,)},
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_supervised_requires_truth(small_square):
     tc = TrainConfig(
         model="FCNN", epochs=5, num_train=8, num_val=4, loss_mode="supervised",

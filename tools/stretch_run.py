@@ -36,6 +36,7 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=20000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
+    ap.add_argument("--grad-clip", type=float, default=0.0)
     ap.add_argument("--num-train", type=int, default=256)
     ap.add_argument("--num-val", type=int, default=64)
     ap.add_argument("--filters", type=int, default=8)
@@ -75,7 +76,7 @@ def main() -> int:
     op, _ = p.op_train
     print(
         f"ng={p.ng} ne={p.space.mesh.num_cells} "
-        f"bsr tiles={op.blocks.shape[0] - 1}/{op.n_row_blocks ** 2} "
+        f"bsr tiles={op.blocks.shape[0] - 1}/{op.n_row_blocks * op.n_col_blocks} "
         f"({100 * op.density:.1f}% dense) [{time.time() - t0:.0f}s]"
     )
 
@@ -83,6 +84,7 @@ def main() -> int:
         model="Net2D",
         lr=args.lr,
         lr_schedule=args.lr_schedule,
+        grad_clip=args.grad_clip,
         epochs=args.epochs,
         num_train=args.num_train,
         num_val=args.num_val,
