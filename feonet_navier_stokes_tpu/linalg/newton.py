@@ -205,6 +205,93 @@ def newton_solve_ns(
     return u, r / f_norm, it
 
 
+def newton_solve_ns_sparse(
+    A_csr,
+    B1_csr,
+    B2_csr,
+    load: np.ndarray,
+    n2: int,
+    u0: np.ndarray | None = None,
+    conv_row_mask: np.ndarray | None = None,
+    max_iters: int = 30,
+    tol: float = 1e-10,
+    A_lu=None,
+) -> tuple[np.ndarray, float, int]:
+    """Sparse (SuperLU) twin of ``newton_solve_ns`` for the ~50k-DoF stretch
+    scale, where a dense Jacobian is 18 GB. Same group-FEM system, same
+    damped-Newton core; the Jacobian is assembled in CSR (diag-scaled B1/B2
+    plus the 2-entries-per-velocity-row gather term) and factorized with
+    scipy splu per iteration. Pass ``A_lu = splu(A.tocsc())`` to reuse the
+    Stokes factorization for the initial guess across a batch.
+    No reference counterpart (its MUMPS Newton runs only at ng<=14803 in a
+    notebook); required by BASELINE.json's 50k stretch goal."""
+    from scipy.sparse import csc_matrix, csr_matrix, diags, coo_matrix
+    from scipy.sparse.linalg import splu
+
+    A = csr_matrix(A_csr).astype(np.float64)
+    B1 = csr_matrix(B1_csr).astype(np.float64)
+    B2 = csr_matrix(B2_csr).astype(np.float64)
+    load = np.asarray(load, dtype=np.float64)
+    ng = A.shape[0]
+    n1 = ng - 2 * n2
+    mask = None if conv_row_mask is None else np.asarray(conv_row_mask, np.float64)
+    keep = None if mask is None else (1.0 - mask)
+
+    def conv(u):
+        z = np.zeros(n1)
+        d1 = np.concatenate([u[:n2], u[:n2], z])
+        d2 = np.concatenate([u[n2 : 2 * n2], u[n2 : 2 * n2], z])
+        c = d1 * (B1 @ u) + d2 * (B2 @ u)
+        return c if keep is None else keep * c
+
+    def residual(u):
+        return A @ u + conv(u) - load
+
+    rows, u1c, u2c = velocity_row_maps(n2, n1)
+
+    def jacobian(u):
+        z = np.zeros(n1)
+        d1 = np.concatenate([u[:n2], u[:n2], z])
+        d2 = np.concatenate([u[n2 : 2 * n2], u[n2 : 2 * n2], z])
+        J = diags(d1) @ B1 + diags(d2) @ B2
+        b1u = B1 @ u
+        b2u = B2 @ u
+        T = coo_matrix(
+            (
+                np.concatenate([b1u[: 2 * n2], b2u[: 2 * n2]]),
+                (
+                    np.concatenate([rows, rows]),
+                    np.concatenate([u1c, u2c]),
+                ),
+            ),
+            shape=(ng, ng),
+        )
+        J = (J + T).tocsr()
+        if keep is not None:
+            J = diags(keep) @ J
+        return (A + J).tocsc()
+
+    if u0 is None:
+        lu = A_lu if A_lu is not None else splu(csc_matrix(A))
+        u0 = lu.solve(load)
+    f_norm = max(float(np.linalg.norm(load)), 1e-30)
+
+    u = np.asarray(u0, dtype=np.float64)
+    r = float(np.linalg.norm(residual(u)))
+    it = 0
+    while r / f_norm > tol and it < max_iters:
+        du = splu(jacobian(u)).solve(-residual(u))
+        step = 1.0
+        rn = float(np.linalg.norm(residual(u + du)))
+        while rn > 3.0 * r and step > 1.0 / 256.0:
+            step *= 0.5
+            rn = float(np.linalg.norm(residual(u + step * du)))
+        u = u + step * du
+        r = rn
+        it += 1
+    return u, r / f_norm, it
+
+
 def newton_solve_weak(
     A: Array,
     conv_fn,

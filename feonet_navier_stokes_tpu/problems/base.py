@@ -244,13 +244,11 @@ class Problem:
             if c.precond_iters > 0 or c.equilibrate:
                 raise ValueError("bpx_levels is exclusive of precond_iters/"
                                  "equilibrate")
-            if c.name != "stokes_square":
+            if c.name not in ("stokes_square", "steady_ns"):
                 raise ValueError(
                     "bpx_levels requires the structured nested-mesh "
-                    "hierarchy (stokes_square only)"
+                    "hierarchy (stokes_square / steady_ns)"
                 )
-            from scipy.sparse import csr_matrix as _csr
-
             from ..linalg.bpx import bpx_factor
 
             fac = bpx_factor(
@@ -258,14 +256,20 @@ class Problem:
                 levels=c.bpx_levels,
             )
             self.bpx64 = fac
-            A_raw_sp = _csr(A_raw)
-            Ahat64 = (fac.G.T @ A_raw_sp @ fac.G).tocsr()
-            Ahat64.sum_duplicates()
-            self.bpx_lift64 = A_raw_sp @ fac.u_bc  # (ng,)
             self.precond64 = None
             self.precond = None
+            # FACTORED application: the training step computes
+            # G^T (A (G w + u_bc) [+ conv] - f) with the BC-applied A64 and
+            # BC-applied load — the BC rows differ from the raw system only
+            # on rows G^T annihilates (G has zero rows there), and the
+            # Gauss-Newton operator is exactly G^T A G either way. ~2x
+            # cheaper per step than a precomputed G^T A G (fewer BSR tiles)
+            # and generalizes to the nonlinear convection residual.
+            self.op_train = (
+                self._bsr_pair(base64) if self.is_bsr
+                else jnp.asarray(base64, dtype=dtype)
+            )
             if self.is_bsr:
-                self.op_train = self._bsr_pair(Ahat64)
                 from ..ops.block_sparse import bsr_from_csr
 
                 self.bpx_G = (
@@ -273,7 +277,6 @@ class Problem:
                     bsr_from_csr(fac.G.T.tocsr()),
                 )
             else:
-                self.op_train = jnp.asarray(Ahat64.toarray(), dtype=dtype)
                 self.bpx_G = jnp.asarray(fac.G.toarray(), dtype=dtype)
             self.bpx_ubc = jnp.asarray(fac.u_bc, dtype=dtype)
         elif c.equilibrate:
@@ -401,11 +404,8 @@ class Problem:
 
     def _train_load64(self, batch: dict[str, Array]) -> np.ndarray:
         """The TRAINING right-hand side: the f64 load, row-scaled by dr when
-        the equilibrated system is active, or G^T-projected with the BC lift
-        under BPX (ground truth always consumes the raw ``load64``)."""
-        if self.bpx64 is not None:
-            raw = self.load64(batch, raw=True) - self.bpx_lift64[None, :]
-            return self.bpx64.G.T.dot(raw.T).T  # (B, m)
+        the equilibrated system is active (BPX consumes the plain BC-applied
+        load — its G^T projection happens inside the jitted loss)."""
         load64 = self.load64(batch)
         if self.equil64 is not None:
             load64 = load64 * self.equil64[0]
@@ -544,6 +544,23 @@ class Problem:
         c = self.config
         if ops is None:
             ops = self.device_ops
+        bpx_G = ops.get("bpx_G")
+        if bpx_G is not None:
+            # Factored BPX objective: || G^T (A (G w + u_bc) [+ conv] - f) ||^2.
+            # BC rows of the inner residual vanish identically (BC-applied A
+            # row u_r minus BC load g_r, with u_r = u_bc exactly); G^T gives
+            # the O(1)-conditioned w-space normal operator G^T A G.
+            from ..residual.losses import bpx_project, sum_of_squares, _apply_op
+            from ..residual.losses import _masked_conv
+
+            u = self.unmap(pred, ops)
+            r = _apply_op(u, ops["op_train"]) - batch["load"]
+            if c.name == "steady_ns":
+                r = r + _masked_conv(
+                    u, ops["B1"], ops["B2"], self.n2,
+                    ops.get("conv_row_mask"),
+                )
+            return sum_of_squares(bpx_project(r, bpx_G))
         if c.name == "steady_ns":
             return nonlinear_residual(
                 pred, ops["op_train"], batch["load"], ops["B1"], ops["B2"],
@@ -618,12 +635,6 @@ class Problem:
             )
         load64 = self.load64(batch)
         if c.name == "steady_ns":
-            if self.is_bsr:
-                raise NotImplementedError(
-                    "dense Newton ground truth is not available at bsr "
-                    "scale; train label-free (truth_for_train=False) or use "
-                    "the timedep_ns IMEX rollout (sparse-LU) for truth"
-                )
             u, rel, _ = self._solve_ns_batch(load64)
             return u
         return solve_dense_batched(self.A64, load64)
@@ -633,7 +644,21 @@ class Problem:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Newton-solve a batch of NS loads; returns (u, rel_res, iters)."""
         mask64 = np.asarray(self.bc.mask, dtype=np.float64)
-        if self.config.ns_truth == "group":
+        if self.is_bsr:
+            # sparse-LU Newton (50k-DoF stretch scale; dense J is 18 GB)
+            from scipy.sparse import csc_matrix
+            from scipy.sparse.linalg import splu
+
+            from ..linalg.newton import newton_solve_ns_sparse
+
+            A_lu = splu(csc_matrix(self.A64))
+
+            def solve_one(f):
+                return newton_solve_ns_sparse(
+                    self.A64, self.B1_64, self.B2_64, f, self.n2,
+                    conv_row_mask=mask64, A_lu=A_lu,
+                )
+        elif self.config.ns_truth == "group":
             def solve_one(f):
                 return newton_solve_ns(
                     self.A64, self.B1_64, self.B2_64, f, self.n2,

@@ -73,6 +73,19 @@ def sum_of_squares(resid: Array) -> Array:
     return jnp.sum(jnp.square(resid))
 
 
+def bpx_project(r: Array, G) -> Array:
+    """G^T r — project a u-space residual into w-coordinates (the BPX
+    congruence, linalg/bpx.py). `G` is the ops['bpx_G'] entry: a dense
+    (ng, m) array or a (G, G^T) BlockSparseOperator pair."""
+    if isinstance(G, tuple):
+        from ..ops.block_sparse import bsr_apply
+
+        flat = r.reshape(-1, r.shape[-1])
+        out = bsr_apply(flat, G[1], G[0])  # the transpose operator
+        return out.reshape(r.shape[:-1] + (out.shape[-1],))
+    return _mm(r, G)
+
+
 def linear_residual(pred: Array, op: Array, rhs: Array) -> Array:
     """Steady linear loss: || op @ u - rhs ||^2 summed over batch and DoFs.
 

@@ -65,14 +65,19 @@ def bpx_problem():
 
 
 def test_bpx_solve_matches_ground_truth(bpx_problem):
-    """Exactly minimizing the BPX residual reproduces the raw-system ground
-    truth: lstsq(A_hat, f_hat) -> unmap == direct solve of A u = f,
-    INCLUDING exact BC values (imposed by the lift, not learned)."""
+    """Exactly minimizing the BPX objective reproduces the raw-system ground
+    truth: w* = lstsq(G^T A G, G^T(f - A u_bc)) -> unmap == direct solve,
+    INCLUDING exact BC values (imposed by the lift, not learned); and the
+    problem's jitted loss at w* is ~0."""
     p = bpx_problem
     batch = p.sample_batch(jax.random.PRNGKey(0), 3)
-    Ah = np.asarray(p.op_train, dtype=np.float64)
-    fh = np.asarray(batch["load"], dtype=np.float64)
-    w = np.linalg.lstsq(Ah, fh.T, rcond=1e-10)[0].T  # (B, m)
+    G = p.bpx64.G.toarray()
+    ubc = p.bpx64.u_bc
+    A = np.asarray(p.A64, dtype=np.float64)
+    f = np.asarray(batch["load"], dtype=np.float64)
+    Ah = G.T @ A @ G
+    rhs = (f - A @ ubc) @ G  # (B, m)
+    w = np.linalg.lstsq(Ah, rhs.T, rcond=1e-10)[0].T  # (B, m)
     u = np.asarray(p.unmap(jnp.asarray(w, dtype=jnp.float32)), dtype=np.float64)
     truth = p.ground_truth(batch)
     err = np.linalg.norm(u - truth, axis=1) / np.linalg.norm(truth, axis=1)
@@ -83,6 +88,13 @@ def test_bpx_solve_matches_ground_truth(bpx_problem):
         u[:, mask], np.broadcast_to(np.asarray(p.bc.values)[mask], u[:, mask].shape),
         atol=1e-5,
     )
+    # loss at the optimum ~ 0 relative to loss at a random w
+    l_star = float(p.loss(jnp.asarray(w, dtype=jnp.float32), batch))
+    l_rand = float(p.loss(
+        jax.random.normal(jax.random.PRNGKey(7), w.shape, dtype=jnp.float32),
+        batch,
+    ))
+    assert l_star < 1e-6 * l_rand, (l_star, l_rand)
 
 
 def test_bpx_residual_training_beats_raw(bpx_problem):
@@ -104,6 +116,70 @@ def test_bpx_residual_training_beats_raw(bpx_problem):
         hist = tr.fit(train_ds, val_ds, verbose=False)
         results[name] = hist[-1]["coeff"]
     assert results["bpx"] < 0.5 * results["raw"], results
+
+
+def test_sparse_newton_matches_dense():
+    """newton_solve_ns_sparse (SuperLU, 50k-scale path) solves the identical
+    group-FEM system as the dense Newton."""
+    from feonet_navier_stokes_tpu.fem import (
+        apply_bc_matrix, apply_bc_vector, assemble_convection,
+        assemble_load_sincos,
+    )
+    from feonet_navier_stokes_tpu.linalg import newton_solve_ns
+    from feonet_navier_stokes_tpu.linalg.newton import newton_solve_ns_sparse
+    from feonet_navier_stokes_tpu.sampling import sample_sincos_coeffs
+
+    sp = build_taylor_hood(structured_rectangle(4, 4))
+    bc = make_bc(sp, square_bcs("lower"))
+    mask = np.asarray(bc.mask)
+    A = apply_bc_matrix(np.asarray(assemble_stokes(sp, mu=0.1)), mask)
+    B1, B2 = assemble_convection(sp)
+    B1, B2 = np.asarray(B1), np.asarray(B2)
+    coeffs = sample_sincos_coeffs(jax.random.PRNGKey(2), 1)
+    load = np.asarray(assemble_load_sincos(sp, np.asarray(coeffs, np.float64)))[0]
+    load = apply_bc_vector(load, mask, np.asarray(bc.values))
+
+    u_d, rel_d, _ = newton_solve_ns(A, B1, B2, load, sp.n2, conv_row_mask=mask)
+    u_s, rel_s, _ = newton_solve_ns_sparse(
+        csr_matrix(A), csr_matrix(B1), csr_matrix(B2), load, sp.n2,
+        conv_row_mask=mask,
+    )
+    assert rel_d < 1e-10 and rel_s < 1e-10, (rel_d, rel_s)
+    np.testing.assert_allclose(u_s, u_d, rtol=1e-8, atol=1e-10)
+
+
+def test_bpx_ns_loss_zero_at_newton_solution():
+    """steady_ns + bpx_levels: the projected nonlinear residual vanishes at
+    the Newton solution (in exact w-preimage coordinates)."""
+    p = build_problem(
+        ProblemConfig(name="steady_ns", bc="lower", nx=4, bpx_levels=2)
+    )
+    batch, truth = p.sample_converged(jax.random.PRNGKey(2), 1)
+    # w-preimage of the free part of the Newton solution: G w = u - u_bc
+    G = p.bpx64.G.toarray()
+    w = np.linalg.lstsq(G, (truth - p.bpx64.u_bc).T, rcond=None)[0].T
+    np.testing.assert_allclose(G @ w[0], truth[0] - p.bpx64.u_bc, atol=1e-8)
+    l_star = float(p.loss(jnp.asarray(w, dtype=jnp.float32), batch))
+    l_rand = float(p.loss(
+        jax.random.normal(jax.random.PRNGKey(3), w.shape, dtype=jnp.float32), batch,
+    ))
+    assert l_star < 1e-6 * l_rand, (l_star, l_rand)
+
+
+def test_bpx_ns_training_smoke():
+    tc = TrainConfig(
+        model="FCNN", lr=2e-3, epochs=200, num_train=8, num_val=4,
+        eval_every=100, data_parallel=False,
+        model_kwargs={"hidden_dims": (32,)},
+    )
+    p = build_problem(
+        ProblemConfig(name="steady_ns", bc="lower", nx=4, bpx_levels=2)
+    )
+    tr = Trainer(p, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert np.isfinite(hist[-1]["coeff"])
 
 
 def test_bpx_bsr_matches_dense(bpx_problem):

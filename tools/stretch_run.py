@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", default="stokes_square",
+                    choices=["stokes_square", "steady_ns"],
+                    help="steady_ns runs the nonlinear convection residual "
+                         "with sparse-LU Newton ground truth")
+    ap.add_argument("--bc", default=None,
+                    help="default: channel_flow (stokes) / lower (ns)")
     ap.add_argument("--nx", type=int, default=72)
     ap.add_argument("--epochs", type=int, default=20000)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -66,9 +72,10 @@ def main() -> int:
     from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
 
     t0 = time.time()
+    bc = args.bc or ("lower" if args.problem == "steady_ns" else "channel_flow")
     p = build_problem(
         ProblemConfig(
-            name="stokes_square", bc="channel_flow", nx=args.nx,
+            name=args.problem, bc=bc, nx=args.nx,
             op_format="bsr", equilibrate=args.equilibrate,
             bpx_levels=args.bpx_levels,
         )
@@ -114,8 +121,8 @@ def main() -> int:
     final = {k: v for k, v in hist[-1].items() if k != "time_per_epoch"}
     result = {
         "problem": (
-            f"stokes_square nx={args.nx} (ne={p.space.mesh.num_cells}, "
-            f"ng={p.ng}) channel_flow, Net2D(filters={args.filters}) "
+            f"{args.problem} nx={args.nx} (ne={p.space.mesh.num_cells}, "
+            f"ng={p.ng}) {bc}, Net2D(filters={args.filters}) "
             f"+ Pallas BSR operators — the ~50k-DoF stretch config "
             f"(SURVEY.md §7 step 7; no reference counterpart, its largest "
             f"config is ng=2549)"
