@@ -182,6 +182,35 @@ def test_bpx_ns_training_smoke():
     assert np.isfinite(hist[-1]["coeff"])
 
 
+def test_bpx_data_parallel_matches_single_device(bpx_problem):
+    """BPX composes with the data mesh: the 8-device sharded step equals the
+    single-device step (the w-space loss reduces with the same psum)."""
+    assert len(jax.devices()) == 8
+    from feonet_navier_stokes_tpu.parallel import shard_batch
+
+    tc_kw = dict(
+        model="FCNN", lr=1e-3, epochs=1, num_train=16, num_val=4,
+        model_kwargs={"hidden_dims": (8,)}, seed=3,
+    )
+    tr1 = Trainer(bpx_problem, TrainConfig(data_parallel=False, **tc_kw))
+    tr8 = Trainer(bpx_problem, TrainConfig(data_parallel=True, **tc_kw))
+    batch = bpx_problem.sample_batch(jax.random.PRNGKey(9), 16)
+    rng = jax.random.PRNGKey(4)
+    out = {}
+    for name, tr, b in (
+        ("single", tr1, batch),
+        ("sharded", tr8, shard_batch(batch, tr8.mesh)),
+    ):
+        state = tr.state
+        for _ in range(2):
+            state, loss = tr._train_step(state, b, rng, tr.ops)
+        out[name] = (float(loss), jax.device_get(state.params))
+    np.testing.assert_allclose(out["sharded"][0], out["single"][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out["single"][1]),
+                    jax.tree.leaves(out["sharded"][1])):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
 def test_bpx_bsr_matches_dense(bpx_problem):
     """op_format='bsr' builds the SAME A_hat/G (Pallas tiles vs dense)."""
     p_bsr = build_problem(
