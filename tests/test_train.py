@@ -121,6 +121,25 @@ def test_timedep_training_smoke():
     assert "traj_rel_l2" in hist[-1]
 
 
+def test_timedep_supervised_mode():
+    """loss_mode='supervised' on a rollout problem trains MSE against the
+    implicit-Euler trajectory (truth sliced to the training seq_len)."""
+    p = build_problem(
+        ProblemConfig(name="timedep_stokes", bc="lower", nx=4, forcing="five",
+                      seq_len=3)
+    )
+    tc = TrainConfig(
+        model="RNN", lr=2e-3, epochs=60, num_train=8, num_val=4,
+        eval_every=30, loss_mode="supervised", data_parallel=False,
+        model_kwargs={"hidden": 32},
+    )
+    tr = Trainer(p, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert np.isfinite(hist[-1]["traj_rel_l2"])
+
+
 def test_lbfgs_optimizer(small_square):
     tc = TrainConfig(
         model="FCNN", optimizer="lbfgs", lr=1.0, epochs=10, num_train=8,
