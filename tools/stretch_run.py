@@ -62,6 +62,15 @@ def main() -> int:
                     help="train on the Ruiz-equilibrated system (see "
                          "ProblemConfig.equilibrate) — the sparsity-"
                          "preserving alternative to SPAI at this scale")
+    ap.add_argument("--data-cache", default=None,
+                    help="npz path: load datasets if it exists, else save "
+                         "after generation (the NS sparse-Newton val truth "
+                         "costs ~50 min at nx=72 — pay it once)")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="save a final checkpoint here")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start checkpoint (reference NS<-Stokes "
+                         "workflow; requires identical model/d_out)")
     ap.add_argument("--log", default="runs/stretch47k_train.jsonl")
     ap.add_argument("--out", default="runs/stretch47k_result.json")
     args = ap.parse_args()
@@ -108,15 +117,48 @@ def main() -> int:
     print(f"model=Net2D params={trainer.n_params:,} "
           f"backend={jax.default_backend()}")
 
+    if args.init_from:
+        trainer.load_checkpoint(args.init_from)
+        print(f"warm-started from {args.init_from}")
+
     t0 = time.time()
-    train_ds, val_ds = trainer.make_datasets()
-    print(f"datasets ready (SuperLU truth for {args.num_val} val samples) "
-          f"[{time.time() - t0:.0f}s]")
+    if args.data_cache and os.path.isfile(args.data_cache):
+        import numpy as _np
+        import jax.numpy as jnp
+
+        from feonet_navier_stokes_tpu.train.trainer import Dataset
+
+        z = _np.load(args.data_cache, allow_pickle=True)
+
+        def _split(prefix):
+            batch = {k[len(prefix) + 7:]: jnp.asarray(z[k])
+                     for k in z.files if k.startswith(prefix + "_batch_")}
+            tkey = f"{prefix}_truth"
+            return Dataset(batch, z[tkey] if tkey in z.files else None)
+
+        train_ds, val_ds = _split("train"), _split("val")
+        print(f"loaded datasets from {args.data_cache} [{time.time()-t0:.0f}s]")
+    else:
+        train_ds, val_ds = trainer.make_datasets()
+        print(f"datasets ready (SuperLU truth for {args.num_val} val samples) "
+              f"[{time.time() - t0:.0f}s]")
+        if args.data_cache:
+            payload = {}
+            for prefix, ds in (("train", train_ds), ("val", val_ds)):
+                for k, v in ds.batch.items():
+                    payload[f"{prefix}_batch_{k}"] = np.asarray(v)
+                if ds.truth is not None:
+                    payload[f"{prefix}_truth"] = np.asarray(ds.truth)
+            os.makedirs(os.path.dirname(args.data_cache) or ".", exist_ok=True)
+            np.savez(args.data_cache, **payload)
+            print(f"cached datasets -> {args.data_cache}")
 
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
     t0 = time.time()
     hist = trainer.fit(train_ds, val_ds, verbose=True)
     wall = time.time() - t0
+    if args.ckpt_dir:
+        print("final checkpoint:", trainer.save_checkpoint(args.ckpt_dir))
 
     final = {k: v for k, v in hist[-1].items() if k != "time_per_epoch"}
     result = {
