@@ -43,6 +43,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
     ap.add_argument("--grad-clip", type=float, default=0.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute dtype for the model (params f32)")
     ap.add_argument("--num-train", type=int, default=256)
     ap.add_argument("--num-val", type=int, default=64)
     ap.add_argument("--filters", type=int, default=8)
@@ -111,7 +113,10 @@ def main() -> int:
         # residual training is label-free: SuperLU ground truth only for the
         # val split; supervised/hybrid also need train-split labels
         truth_for_train=args.loss_mode != "residual",
-        model_kwargs={"filters": args.filters, "kernel_size": 5},
+        model_kwargs={
+            "filters": args.filters, "kernel_size": 5,
+            **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
+        },
     )
     trainer = Trainer(p, tc)
     print(f"model=Net2D params={trainer.n_params:,} "
