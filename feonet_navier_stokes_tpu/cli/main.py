@@ -40,7 +40,12 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
     p.add_argument("--bpx-levels", type=int, default=0,
                    help="BPX-congruence residual conditioning: number of "
-                        "nested mesh levels (0 = off; stokes_square only)")
+                        "nested mesh levels (0 = off; stokes_square/steady_ns "
+                        "— needs the structured nested-mesh hierarchy)")
+    p.add_argument("--equilibrate", action="store_true",
+                   help="Ruiz-equilibrate the training system (sparsity-"
+                        "preserving residual conditioning; steady linear + "
+                        "timedep rollout problems)")
 
 
 def _build_problem(args):
@@ -63,6 +68,7 @@ def _build_problem(args):
         ns_truth=args.ns_truth,
         op_format=args.op_format,
         bpx_levels=args.bpx_levels,
+        equilibrate=args.equilibrate,
     )
     return build_problem(cfg)
 
@@ -127,6 +133,7 @@ def cmd_train(args) -> int:
         truth_for_train=not args.no_train_truth,
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
+        ema_decay=args.ema_decay,
         model_kwargs=json.loads(args.model_kwargs),
     )
     if args.precond_file:
@@ -267,6 +274,9 @@ def main(argv=None) -> int:
                         "supervised = MSE vs solver ground truth; hybrid = both")
     t.add_argument("--residual-weight", type=float, default=1.0,
                    help="residual term weight for --loss-mode hybrid")
+    t.add_argument("--ema-decay", type=float, default=0.0,
+                   help="Polyak/EMA parameter averaging for eval+checkpoints "
+                        "(0 = off; 0.999 is a good full-batch default)")
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")

@@ -139,6 +139,7 @@ def _damped_newton(
     max_iters: int,
     tol: float,
     growth: float = 3.0,
+    solve_fn=None,
 ) -> tuple[np.ndarray, float, int]:
     """Shared Newton core with non-monotone damping (host numpy).
 
@@ -146,15 +147,19 @@ def _damped_newton(
     which case it is halved (up to 8 times). Allowing transient growth beats
     strict backtracking on these saddle-point systems (strict monotone line
     search stalls; FEniCS's relaxed Newton behaves similarly).
+    ``solve_fn(J, b)`` is the linear solve (default dense LU) — the sparse
+    path passes a SuperLU solve so both share one damping policy.
     Returns (u, final |R|, iterations).
     """
+    if solve_fn is None:
+        solve_fn = np.linalg.solve
     u = np.asarray(u0, dtype=np.float64)
     r = float(np.linalg.norm(residual_fn(u)))
     it = 0
     while r / f_norm > tol and it < max_iters:
         R = residual_fn(u)
         J = jacobian_fn(u)
-        du = np.linalg.solve(J, -R)
+        du = solve_fn(J, -R)
         step = 1.0
         rn = float(np.linalg.norm(residual_fn(u + du)))
         while rn > growth * r and step > 1.0 / 256.0:
@@ -275,20 +280,15 @@ def newton_solve_ns_sparse(
         lu = A_lu if A_lu is not None else splu(csc_matrix(A))
         u0 = lu.solve(load)
     f_norm = max(float(np.linalg.norm(load)), 1e-30)
-
-    u = np.asarray(u0, dtype=np.float64)
-    r = float(np.linalg.norm(residual(u)))
-    it = 0
-    while r / f_norm > tol and it < max_iters:
-        du = splu(jacobian(u)).solve(-residual(u))
-        step = 1.0
-        rn = float(np.linalg.norm(residual(u + du)))
-        while rn > 3.0 * r and step > 1.0 / 256.0:
-            step *= 0.5
-            rn = float(np.linalg.norm(residual(u + step * du)))
-        u = u + step * du
-        r = rn
-        it += 1
+    u, r, it = _damped_newton(
+        residual,
+        jacobian,
+        np.asarray(u0, dtype=np.float64),
+        f_norm,
+        max_iters,
+        tol,
+        solve_fn=lambda J, b: splu(J).solve(b),
+    )
     return u, r / f_norm, it
 
 

@@ -61,6 +61,11 @@ def build_optimizer(
         tx = optax.lbfgs(lr if not callable(lr) else None)
     else:
         raise ValueError(f"unknown optimizer {name!r}; have {OPTIMIZERS}")
-    if grad_clip and grad_clip > 0 and name != "lbfgs":
+    if grad_clip and grad_clip > 0:
+        if name == "lbfgs":
+            raise ValueError(
+                "grad_clip is incompatible with lbfgs (clipping the gradient "
+                "would corrupt the curvature pairs); use grad_clip=0"
+            )
         return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx

@@ -90,6 +90,11 @@ class TrainConfig:
     # 'hybrid'    — supervised + residual_weight * residual.
     loss_mode: str = "residual"
     residual_weight: float = 1.0  # residual term weight in 'hybrid'
+    # Exponential moving average of the params (Polyak averaging). 0 = off.
+    # Evaluation/checkpoints use the EMA params when enabled — full-batch
+    # residual training oscillates around the minimum at constant lr, and
+    # the iterate average sits measurably closer to it than the last iterate.
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass
@@ -112,6 +117,7 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: Array
+    ema_params: Any = None
 
 
 class Trainer:
@@ -140,11 +146,16 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.has_bn = "batch_stats" in variables
+        self.use_ema = c.ema_decay > 0.0
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
             step=jnp.asarray(0),
+            # independent copies — the train step donates the state, and an
+            # alias of `params` would donate the same buffer twice
+            ema_params=(jax.tree.map(jnp.array, params)
+                        if self.use_ema else None),
         )
         self.n_params = int(
             sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -192,9 +203,13 @@ class Trainer:
             jax.jit(self.tx.init)(params) if init_opt else state.opt_state
         )
         batch_stats, step = replicate((state.batch_stats, state.step), self.mesh)
+        ema = (
+            shard_params(state.ema_params, self.mesh, self.problem.d_out)
+            if state.ema_params is not None else None
+        )
         return TrainState(
             params=params, batch_stats=batch_stats,
-            opt_state=opt_state, step=step,
+            opt_state=opt_state, step=step, ema_params=ema,
         )
 
     # ------------------------------------------------------------------
@@ -276,11 +291,20 @@ class Trainer:
         import optax
 
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if self.use_ema:
+            d = self.config.ema_decay
+            # bias-correct the warmup by capping decay at step/(step+1)
+            d = jnp.minimum(d, (state.step + 1.0) / (state.step + 2.0))
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
+            )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
             step=state.step + 1,
+            ema_params=new_ema,
         )
         if self.config.nan_guard:
             ok = jnp.isfinite(loss)
@@ -291,7 +315,8 @@ class Trainer:
 
     def _eval_forward_impl(self, state: TrainState, batch, ops):
         x = self.problem.model_input(batch, self.config.model)
-        out, _ = self._apply(state.params, state.batch_stats, x, train=False)
+        params = state.ema_params if self.use_ema else state.params
+        out, _ = self._apply(params, state.batch_stats, x, train=False)
         return self.problem.unmap(out, ops)
 
     # ------------------------------------------------------------------
@@ -451,34 +476,63 @@ class Trainer:
 
     def save_checkpoint(self, ckpt_dir: str) -> str:
         import orbax.checkpoint as ocp
+        from flax import serialization
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(self.state.step)}"))
+        tree = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "step": int(self.state.step),
+            # optimizer state as a plain state-dict (optax NamedTuples are
+            # not orbax-stable across versions; flax serialization is)
+            "opt_state": serialization.to_state_dict(
+                jax.device_get(self.state.opt_state)
+            ),
+        }
+        if self.state.ema_params is not None:
+            tree["ema_params"] = jax.device_get(self.state.ema_params)
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(
-                path,
-                {
-                    "params": jax.device_get(self.state.params),
-                    "batch_stats": jax.device_get(self.state.batch_stats),
-                    "step": int(self.state.step),
-                },
-                force=True,
-            )
+            ckptr.save(path, tree, force=True)
         return path
 
     def load_checkpoint(self, path: str, params_only: bool = True) -> None:
         """Restore params (and batch_stats) — also the warm-start mechanism
         (the reference warm-starts steady NS from the Stokes UNet checkpoint,
-        FEONet_steady_Navier-Stokes/train_FEONet.py:209-215)."""
+        FEONet_steady_Navier-Stokes/train_FEONet.py:209-215).
+
+        ``params_only=False`` additionally restores the optimizer state and
+        EMA params (full resume). Not supported together with tensor
+        parallelism (the restored moments would need the column-shard
+        layout; re-warm instead)."""
         import orbax.checkpoint as ocp
+        from flax import serialization
 
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path))
         state = self.state
+        if params_only or "opt_state" not in restored:
+            opt_state = state.opt_state
+        else:
+            if self.config.model_axis > 1:
+                raise NotImplementedError(
+                    "full resume (params_only=False) under tensor parallelism "
+                    "is not supported; warm-start with params_only=True"
+                )
+            opt_state = serialization.from_state_dict(
+                state.opt_state, restored["opt_state"]
+            )
+        ema = state.ema_params
+        if self.use_ema:
+            # copy to avoid aliasing the (donated) params buffers
+            ema = jax.tree.map(
+                jnp.array, restored.get("ema_params", restored["params"])
+            )
         self.state = TrainState(
             params=restored["params"],
             batch_stats=restored.get("batch_stats", state.batch_stats),
-            opt_state=state.opt_state if params_only else restored["opt_state"],
+            opt_state=opt_state,
             step=jnp.asarray(restored.get("step", 0)),
+            ema_params=ema,
         )
         if self.mesh is not None:
             if self.config.model_axis > 1:

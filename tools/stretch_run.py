@@ -127,6 +127,15 @@ def main() -> int:
         print(f"warm-started from {args.init_from}")
 
     t0 = time.time()
+    # dataset-identity fingerprint: a cache written for one (problem, mesh,
+    # bc, split sizes, loss mode's truth needs) must not be silently reused
+    # for another — mismatches surface as wrong loads / missing train truth
+    # much later, mid-training
+    fprint = json.dumps({
+        "problem": args.problem, "nx": args.nx, "bc": bc,
+        "num_train": args.num_train, "num_val": args.num_val,
+        "train_truth": args.loss_mode != "residual",
+    }, sort_keys=True)
     if args.data_cache and os.path.isfile(args.data_cache):
         import numpy as _np
         import jax.numpy as jnp
@@ -134,6 +143,13 @@ def main() -> int:
         from feonet_navier_stokes_tpu.train.trainer import Dataset
 
         z = _np.load(args.data_cache, allow_pickle=True)
+        cached_fp = str(z["fingerprint"]) if "fingerprint" in z.files else None
+        if cached_fp != fprint:
+            raise SystemExit(
+                f"--data-cache {args.data_cache} was generated for a "
+                f"different config:\n  cached: {cached_fp}\n  wanted: {fprint}\n"
+                "delete the cache or point --data-cache elsewhere"
+            )
 
         def _split(prefix):
             batch = {k[len(prefix) + 7:]: jnp.asarray(z[k])
@@ -148,7 +164,7 @@ def main() -> int:
         print(f"datasets ready (SuperLU truth for {args.num_val} val samples) "
               f"[{time.time() - t0:.0f}s]")
         if args.data_cache:
-            payload = {}
+            payload = {"fingerprint": np.asarray(fprint)}
             for prefix, ds in (("train", train_ds), ("val", val_ds)):
                 for k, v in ds.batch.items():
                     payload[f"{prefix}_batch_{k}"] = np.asarray(v)
