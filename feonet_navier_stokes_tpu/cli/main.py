@@ -44,8 +44,9 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                         "— needs the structured nested-mesh hierarchy)")
     p.add_argument("--equilibrate", action="store_true",
                    help="Ruiz-equilibrate the training system (sparsity-"
-                        "preserving residual conditioning; steady linear + "
-                        "timedep rollout problems)")
+                        "preserving residual conditioning; all problems — "
+                        "for the timedep rollout this is THE label-free "
+                        "pressure-conditioning path)")
 
 
 def _build_problem(args):

@@ -118,13 +118,17 @@ class ProblemConfig:
     #          step 7) where dense operators would be 10 GB. Requires
     #          precond_iters == 0 (a SPAI inverse is dense).
     op_format: str = "dense"
-    # Ruiz two-sided diagonal equilibration of the TRAINING system (steady
-    # linear problems): at large ng the raw Galerkin rows span a huge dynamic
-    # range (unit BC rows vs ~h^2 load entries), so the f32 residual loss
-    # under-weights the physics and sits near the f32 floor. Training solves
-    # diag(dr) A diag(dc) û = dr*f with u = dc*û; sparsity-preserving (the
-    # BSR-scale alternative to SPAI, whose inverse is dense). Ground truth
-    # always uses the raw f64 system.
+    # Ruiz two-sided diagonal equilibration of the TRAINING system: at large
+    # ng the raw Galerkin rows span a huge dynamic range (unit BC rows vs
+    # ~h^2 load entries), so the f32 residual loss under-weights the physics
+    # and sits near the f32 floor. Training solves diag(dr) A diag(dc) û =
+    # dr*f with u = dc*û; sparsity-preserving (the BSR-scale alternative to
+    # SPAI, whose inverse is dense). Ground truth always uses the raw f64
+    # system. Supported for every problem: steady_ns scales the quadratic
+    # term consistently (dr∘conv(dc∘û)), and for the timedep rollout this is
+    # THE conditioning path — in (S + dt·A) pressure enters only through
+    # dt·A, so the raw label-free residual under-weights pressure by dt²
+    # (cond 3.5e5 → ~90 at ne=200, dt=0.01).
     equilibrate: bool = False
     # BPX-congruence conditioning of the label-free residual objective
     # (linalg/bpx.py): >0 = number of nested mesh levels. The network emits
@@ -154,6 +158,10 @@ class Problem:
     def __init__(self, config: ProblemConfig, space: TaylorHoodSpace, bc: BCData):
         self.config = config
         self.space = space
+        # set by Trainer.__init__ when it snapshots device_ops; late operator
+        # mutation would silently not reach the jitted step, so set_precond
+        # raises once this flips
+        self._ops_consumed = False
         c = config
         dtype = c.dtype
         mu = c.resolved_mu()
@@ -237,6 +245,9 @@ class Problem:
         base64 = self.sys64 if c.name in _TIMEDEP else A64
         self.equil64 = None
         self.equil_dc = None
+        self.equil_dr = None
+        self.S_train = None
+        self.load_const_train = None
         self.bpx64 = None
         self.bpx_G = None
         self.bpx_ubc = None
@@ -282,23 +293,35 @@ class Problem:
         elif c.equilibrate:
             if c.precond_iters > 0:
                 raise ValueError("equilibrate and precond_iters are exclusive")
-            if c.name not in ("stokes_square", "stokes_hole"):
-                raise ValueError(
-                    "equilibrate currently supports the steady linear "
-                    "problems only (the nonlinear/rollout residuals consume "
-                    "raw-coordinate predictions)"
-                )
             from ..linalg import equilibrate as _equilibrate
 
             base_eq, dr, dc = _equilibrate(base64)
             self.equil64 = (dr, dc)
             self.equil_dc = jnp.asarray(dc, dtype=dtype)
+            if c.name in ("steady_ns", "timedep_ns"):
+                # the quadratic term needs the row scale at train time
+                self.equil_dr = jnp.asarray(dr, dtype=dtype)
             self.precond64 = None
             self.precond = None
             self.op_train = (
                 self._bsr_pair(base_eq) if self.is_bsr
                 else jnp.asarray(base_eq, dtype=dtype)
             )
+            if c.name in _TIMEDEP:
+                # the rollout RHS terms S u_{t-1} and dt*f live in the same
+                # row-scaled equation space: provide dr-scaled twins
+                if self.is_bsr:
+                    from scipy.sparse import diags
+
+                    S_eq = (diags(dr) @ self.S64).tocsr()
+                    self.S_train = self._bsr_pair(S_eq)
+                else:
+                    self.S_train = jnp.asarray(
+                        dr[:, None] * self.S64, dtype=dtype
+                    )
+                self.load_const_train = jnp.asarray(
+                    dr * self.load_const64, dtype=dtype
+                )
         elif c.precond_iters > 0:
             self.set_precond(spai(base64, c.precond_iters))
         else:
@@ -335,7 +358,15 @@ class Problem:
         op = base @ M.
 
         Call BEFORE constructing a Trainer: trainers snapshot ``device_ops``
-        at construction (both CLI paths already do)."""
+        at construction (both CLI paths already do); calling afterwards
+        raises — the new operator would silently never reach the jitted
+        step."""
+        if self._ops_consumed:
+            raise RuntimeError(
+                "set_precond called after a Trainer snapshotted device_ops — "
+                "the jitted train step would keep using the old operator. "
+                "Install the preconditioner before constructing the Trainer."
+            )
         c = self.config
         dtype = c.dtype
         M64 = np.asarray(M, dtype=np.float64)
@@ -532,12 +563,16 @@ class Problem:
         """
         ops: dict[str, Any] = {"op_train": self.op_train}
         for name in ("B1", "B2", "S", "precond", "conv_row_mask", "equil_dc",
-                     "bpx_G", "bpx_ubc"):
+                     "equil_dr", "bpx_G", "bpx_ubc"):
             v = getattr(self, name)
             if v is not None:
                 ops[name] = v
         if self.config.name in _TIMEDEP:
             ops["load_const"] = self.load_const
+            if self.equil64 is not None:
+                # the rollout loss consumes the dr-scaled equation space
+                ops["S"] = self.S_train
+                ops["load_const"] = self.load_const_train
         return ops
 
     def loss(self, pred: Array, batch: dict[str, Array], ops: dict | None = None) -> Array:
@@ -565,11 +600,13 @@ class Problem:
             return nonlinear_residual(
                 pred, ops["op_train"], batch["load"], ops["B1"], ops["B2"],
                 self.n2, conv_row_mask=ops.get("conv_row_mask"),
+                equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
             )
         if c.name == "timedep_stokes":
             return rollout_residual(
                 pred, ops["S"], ops["op_train"], ops["load_const"], c.dt,
                 batch["u_init"], precond=ops.get("precond"),
+                equil_dc=ops.get("equil_dc"),
             )
         if c.name == "timedep_ns":
             from ..residual import rollout_ns_residual
@@ -579,6 +616,7 @@ class Problem:
                 batch["u_init"], ops["B1"], ops["B2"], self.n2,
                 conv_row_mask=ops.get("conv_row_mask"),
                 precond=ops.get("precond"),
+                equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
             )
         return linear_residual(pred, ops["op_train"], batch["load"])
 

@@ -105,6 +105,8 @@ def nonlinear_residual(
     n2: int,
     conv_row_mask: Array | None = None,
     reference_sign_bug: bool = False,
+    equil_dc: Array | None = None,
+    equil_dr: Array | None = None,
 ) -> Array:
     """Steady Navier-Stokes loss: || op u + conv(u) - f ||^2.
 
@@ -112,8 +114,16 @@ def nonlinear_residual(
     FEONet_steady_Navier-Stokes/train_FEONet.py:301-332). When training with
     SPAI, pass op = A @ M; conv is evaluated on the RAW prediction (matching
     the reference, which applies the preconditioner on the linear term only).
+
+    Ruiz-equilibrated variant (equil_dc/equil_dr set): op = dr A dc, rhs =
+    dr*f, predictions are û with u = dc∘û — the quadratic term is evaluated
+    on the PHYSICAL u and its rows re-scaled by dr so the whole residual is
+    dr∘(A u + conv(u) - f).
     """
-    conv = _masked_conv(pred, B1, B2, n2, conv_row_mask)
+    u_phys = pred * equil_dc if equil_dc is not None else pred
+    conv = _masked_conv(u_phys, B1, B2, n2, conv_row_mask)
+    if equil_dr is not None:
+        conv = conv * equil_dr
     if reference_sign_bug:
         resid = _apply_op(pred, op) + rhs - conv
     else:
@@ -129,6 +139,7 @@ def rollout_residual(
     dt: float,
     u_init: Array,
     precond: Array | None = None,
+    equil_dc: Array | None = None,
 ) -> Array:
     """Time-dependent Stokes rollout loss.
 
@@ -152,10 +163,20 @@ def rollout_residual(
     see M û_{t-1} — pass ``precond`` to keep the coordinates consistent
     (u_init is already physical). The reference never exercises this branch
     (its timedep runs default do_precond=0, train_FEONet.py:37).
+
+    Ruiz-equilibrated variant (equil_dc set): sys_op = dr (S+dt·A) dc, S and
+    load are ROW-scaled by dr by the caller, predictions are û with the
+    physical u = dc∘û — the self-conditioning term sees dc∘û_{t-1}. This is
+    the conditioning path for the label-free rollout: in (S+dt·A) the
+    pressure rows/cols enter only through dt·A, so the raw residual
+    under-weights pressure by dt² (cond ~3.5e5 at ne=200, dt=0.01 → ~90
+    equilibrated).
     """
     prev_pred = pred_seq[:, :-1, :]
     if precond is not None:
         prev_pred = _mm(prev_pred, precond.T)
+    elif equil_dc is not None:
+        prev_pred = prev_pred * equil_dc
     prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     lhs = _apply_op(pred_seq, sys_op)
     rhs = _apply_op(prev, S) + dt * jnp.broadcast_to(
@@ -177,6 +198,8 @@ def rollout_ns_residual(
     n2: int,
     conv_row_mask: Array | None = None,
     precond: Array | None = None,
+    equil_dc: Array | None = None,
+    equil_dr: Array | None = None,
 ) -> Array:
     """Semi-implicit Navier-Stokes rollout loss (stretch capability — no
     reference counterpart; scheme matches linalg.solvers.
@@ -186,12 +209,19 @@ def rollout_ns_residual(
 
     with the group-FEM convection on the lagged *prediction* — fully
     parallel over t (one-step shift, two matmuls + the masked quadratic).
+
+    Equilibrated variant: see rollout_residual — additionally the quadratic
+    term is evaluated on the physical lagged state and row-scaled by dr.
     """
     prev_pred = pred_seq[:, :-1, :]
     if precond is not None:
         prev_pred = _mm(prev_pred, precond.T)
+    elif equil_dc is not None:
+        prev_pred = prev_pred * equil_dc
     prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     conv = _masked_conv(prev, B1, B2, n2, conv_row_mask)
+    if equil_dr is not None:
+        conv = conv * equil_dr
     lhs = _apply_op(pred_seq, sys_op)
     rhs = _apply_op(prev, S) + dt * (
         jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[:, None, :] - conv

@@ -180,6 +180,7 @@ class Trainer:
         # breaks remote compilation and bloats the executable). Snapshot once;
         # problems mutate operators (set_precond) only before training.
         self.ops = problem.device_ops
+        problem._ops_consumed = True
         if self.mesh is not None:
             if c.model_axis > 1:
                 self.ops = shard_ops(self.ops, self.mesh)

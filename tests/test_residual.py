@@ -142,3 +142,75 @@ def test_rollout_residual_precond_coordinates():
         jnp.asarray(p.u_init64(b)), precond=p.precond,
     )
     assert float(loss) < 1e-9 * float(loss_bad)
+
+
+def test_rollout_residual_equilibrated_coordinates():
+    """Ruiz-equilibrated rollout (the label-free pressure-conditioning path):
+    the exact trajectory expressed in scaled coordinates u_hat = u / dc must
+    zero the loss built from dr-scaled operators — and the scaled system must
+    be orders better conditioned than the raw (S + dt*A)."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    p = build_problem(
+        ProblemConfig(name="timedep_stokes", bc="lower", nx=4, forcing="five",
+                      seq_len=4, equilibrate=True)
+    )
+    dr, dc = p.equil64
+    # f64 twins of the device operators (exact zero-at-truth check)
+    op_eq = dr[:, None] * p.sys64 * dc[None, :]
+    S_eq = dr[:, None] * p.S64
+    load_eq = dr * p.load_const64
+    b = p.sample_batch(jax.random.PRNGKey(3), 2)
+    traj = p.ground_truth(b, n_steps=4)
+    pred_hat = traj[:, 1:] / dc[None, None, :]
+    u0 = jnp.asarray(p.u_init64(b))
+    loss = rollout_residual(
+        pred_hat, S_eq, op_eq, load_eq, p.config.dt, u0,
+        equil_dc=jnp.asarray(dc),
+    )
+    loss_bad = rollout_residual(
+        pred_hat * 1.01, S_eq, op_eq, load_eq, p.config.dt, u0,
+        equil_dc=jnp.asarray(dc),
+    )
+    assert float(loss) < 1e-12 * float(loss_bad)
+    # conditioning: the whole point of the path
+    assert np.linalg.cond(op_eq) < 0.01 * np.linalg.cond(p.sys64)
+    # device-ops plumbing: Problem.loss at truth is tiny vs a perturbation
+    dev_loss = p.loss(jnp.asarray(pred_hat, jnp.float32), b)
+    dev_bad = p.loss(jnp.asarray(pred_hat * 1.01, jnp.float32), b)
+    assert float(dev_loss) < 1e-4 * float(dev_bad)
+    # unmap returns physical coordinates
+    np.testing.assert_allclose(
+        np.asarray(p.unmap(jnp.asarray(pred_hat))), traj[:, 1:], rtol=1e-6
+    )
+
+
+def test_nonlinear_residual_equilibrated_zero_at_newton():
+    """Equilibrated steady-NS residual: dr(A u + conv(u) - f) with u = dc*û
+    vanishes at the group-FEM Newton solution."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.linalg import newton_solve_ns
+
+    p = build_problem(
+        ProblemConfig(name="steady_ns", bc="lower", nx=4, ns_truth="group",
+                      equilibrate=True)
+    )
+    dr, dc = p.equil64
+    b = p.sample_batch(jax.random.PRNGKey(2), 1)
+    load64 = p.load64(b)[0]
+    mask = jnp.asarray(p.bc.mask)
+    u, rel, _ = newton_solve_ns(
+        p.A64, p.B1_64, p.B2_64, load64, p.n2, conv_row_mask=mask
+    )
+    assert float(rel) < 1e-10
+    op_eq = dr[:, None] * p.A64 * dc[None, :]
+    loss = nonlinear_residual(
+        (u / dc)[None], op_eq, (dr * load64)[None], p.B1_64, p.B2_64, p.n2,
+        conv_row_mask=mask, equil_dc=jnp.asarray(dc), equil_dr=jnp.asarray(dr),
+    )
+    loss_bad = nonlinear_residual(
+        (u / dc)[None] * 1.01, op_eq, (dr * load64)[None], p.B1_64, p.B2_64,
+        p.n2, conv_row_mask=mask, equil_dc=jnp.asarray(dc),
+        equil_dr=jnp.asarray(dr),
+    )
+    assert float(loss) < 1e-12 * float(loss_bad)
