@@ -28,7 +28,7 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                    choices=["sincos", "grf", "five", "zero"],
                    help="default: sincos (steady) / five (timedep)")
     p.add_argument("--nx", type=int, default=6, help="cells per side (ne=2*nx^2)")
-    p.add_argument("--hole-h", type=float, default=0.125)
+    p.add_argument("--hole-h", type=float, default=0.1205)
     p.add_argument("--resol-in", type=int, default=20)
     p.add_argument("--dt", type=float, default=0.01)
     p.add_argument("--seq-len", type=int, default=10)
@@ -38,6 +38,10 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                    help="steady-NS ground-truth system: true trilinear form "
                         "(FEniCS-like) or the group-FEM training system")
     p.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
+    p.add_argument("--interp", default="cubic", choices=["cubic", "linear"],
+                   help="GRF scattered->grid featurization: cubic = the "
+                        "reference's Clough-Tocher griddata (exact "
+                        "precomputed linear map); linear = barycentric")
     p.add_argument("--bpx-levels", type=int, default=0,
                    help="BPX-congruence residual conditioning: number of "
                         "nested mesh levels (0 = off; stokes_square/steady_ns "
@@ -68,6 +72,7 @@ def _build_problem(args):
         mu=args.mu,
         ns_truth=args.ns_truth,
         op_format=args.op_format,
+        interp=args.interp,
         bpx_levels=args.bpx_levels,
         equilibrate=args.equilibrate,
     )

@@ -99,8 +99,16 @@ class ProblemConfig:
     bc: str = "channel_flow"  # 'lower' | 'zero' | 'channel_flow'
     forcing: str = "sincos"  # 'sincos' | 'grf' | 'five' | 'zero'
     nx: int = 6  # structured mesh cells per side (ne = 2*nx^2)
-    hole_h: float = 0.125  # target edge length for the hole mesh
+    # target edge length for the hole mesh; 0.1205 lands exactly on the
+    # reference's ne=512 (ng=2539 vs its 2549 — topology-identical ng is
+    # impossible for a non-CGAL generator; see test.ipynb cells 14-16)
+    hole_h: float = 0.1205
     resol_in: int = 20  # CNN input grid resolution
+    # GRF scattered->grid featurization: 'cubic' is the reference's
+    # griddata(method='cubic') (Clough-Tocher, exact linear-map precompute);
+    # 'linear' is barycentric (and the automatic fallback past ~8k points
+    # where the cubic probe is quadratic in memory).
+    interp: str = "cubic"
     mu: float | None = None  # None -> problem default
     dt: float = 0.01
     seq_len: int = 10  # rollout length for timedep training
@@ -335,7 +343,12 @@ class Problem:
         # --- sampling state ---
         if c.forcing == "grf":
             self.grf_chol = grf_factor(space.p2_coords)
-            self.interp = GridInterpolator.build(space.p2_coords, c.resol_in)
+            method = c.interp
+            if method == "cubic" and space.p2_coords.shape[0] > GridInterpolator._CUBIC_MAX:
+                method = "linear"  # the probe is quadratic in memory
+            self.interp = GridInterpolator.build(
+                space.p2_coords, c.resol_in, method=method
+            )
         else:
             self.grf_chol = None
             self.interp = None

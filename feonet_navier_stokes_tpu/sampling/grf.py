@@ -114,18 +114,30 @@ def sample_grf(
 class GridInterpolator:
     """Static scattered->grid interpolation plan (host-precomputed).
 
-    Linear barycentric interpolation on the Delaunay triangulation of the
-    source points; grid points outside the convex hull (or in degenerate
-    simplices) get value ``fill``. The jittable replacement for griddata —
-    the reference's 'cubic' differs only in smoothness of the CNN *input*
-    featurization, not in any numerical-parity quantity.
+    method='linear': barycentric interpolation on the Delaunay triangulation
+    of the source points (3 gathers + weights per grid point).
+    method='cubic': the reference's ``griddata(..., method='cubic')``
+    (FEONet-square-with-hole/create_data.py:92-93) — a Clough-Tocher C1
+    cubic spline. The CT interpolant is LINEAR in the data values (gradient
+    estimation solves a linear system; Bezier coefficients are linear in
+    values+gradients), so the full scattered->grid map is one dense
+    (n_grid, n_points) matrix, precomputed by probing scipy's
+    CloughTocher2DInterpolator with the identity — application is a single
+    MXU-friendly matmul. Probing is O(n_points^2); gated to
+    n_points <= _CUBIC_MAX (the reference only uses cubic at ~1k points).
+
+    Grid points outside the convex hull (or in degenerate simplices) get
+    value ``fill`` either way.
     """
 
-    vertex_ids: np.ndarray  # (n_grid, 3) int32 source-point ids
-    weights: np.ndarray  # (n_grid, 3) barycentric weights
+    vertex_ids: np.ndarray  # (n_grid, 3) int32 source-point ids (linear)
+    weights: np.ndarray  # (n_grid, 3) barycentric weights (linear)
     valid: np.ndarray  # (n_grid,) bool — inside the convex hull
     resol: int
     fill: float = 0.0
+    dense_w: np.ndarray | None = None  # (n_grid, n_points) cubic CT map
+
+    _CUBIC_MAX = 8192
 
     @staticmethod
     def build(
@@ -134,14 +146,16 @@ class GridInterpolator:
         lo: float = -1.0,
         hi: float = 1.0,
         fill: float = 0.0,
+        method: str = "linear",
     ) -> "GridInterpolator":
         from scipy.spatial import Delaunay
 
+        points = np.asarray(points, dtype=np.float64)
         g = np.linspace(lo, hi, resol)
         xx, yy = np.meshgrid(g, g, indexing="ij")
         grid = np.stack([xx.ravel(), yy.ravel()], axis=1)
 
-        tri = Delaunay(np.asarray(points, dtype=np.float64))
+        tri = Delaunay(points)
         simplex = tri.find_simplex(grid)
         valid = simplex >= 0
         simplex_safe = np.where(valid, simplex, 0)
@@ -151,19 +165,40 @@ class GridInterpolator:
         )
         weights = np.concatenate([bary2, 1.0 - bary2.sum(axis=1, keepdims=True)], axis=1)
         vertex_ids = tri.simplices[simplex_safe].astype(np.int32)
+
+        dense_w = None
+        if method == "cubic":
+            n = points.shape[0]
+            if n > GridInterpolator._CUBIC_MAX:
+                raise ValueError(
+                    f"cubic interpolation probes an (n, n) identity — "
+                    f"n_points={n} exceeds {GridInterpolator._CUBIC_MAX}; "
+                    "use method='linear' at this scale"
+                )
+            from scipy.interpolate import CloughTocher2DInterpolator
+
+            ct = CloughTocher2DInterpolator(tri, np.eye(n), fill_value=0.0)
+            dense_w = np.asarray(ct(grid), dtype=np.float64)  # (n_grid, n)
+        elif method != "linear":
+            raise ValueError(f"unknown interpolation method {method!r}")
         return GridInterpolator(
             vertex_ids=vertex_ids,
             weights=weights,
             valid=valid,
             resol=resol,
             fill=fill,
+            dense_w=dense_w,
         )
 
     def __call__(self, values: Array) -> Array:
         """values: (..., n_points) -> (..., resol, resol)."""
-        ids = jnp.asarray(self.vertex_ids)
-        w = jnp.asarray(self.weights, dtype=values.dtype)
         v = jnp.asarray(self.valid)
-        out = jnp.einsum("...gk,gk->...g", values[..., ids], w)
+        if self.dense_w is not None:
+            w = jnp.asarray(self.dense_w, dtype=values.dtype)
+            out = jnp.matmul(values, w.T)
+        else:
+            ids = jnp.asarray(self.vertex_ids)
+            w = jnp.asarray(self.weights, dtype=values.dtype)
+            out = jnp.einsum("...gk,gk->...g", values[..., ids], w)
         out = jnp.where(v, out, jnp.asarray(self.fill, dtype=values.dtype))
         return out.reshape(*values.shape[:-1], self.resol, self.resol)

@@ -20,14 +20,15 @@ from feonet_navier_stokes_tpu.geometry import square_with_hole_mesh, build_taylo
 
 @pytest.fixture(scope="module")
 def hole_mesh_512():
-    return square_with_hole_mesh(h=0.125)
+    # the ProblemConfig default (hole_h=0.1205): ne=512 exactly
+    return square_with_hole_mesh(h=0.1205)
 
 
 def test_hole_mesh_reference_scale(hole_mesh_512):
     mesh = hole_mesh_512
     space = build_taylor_hood(mesh)
-    assert 430 <= mesh.num_cells <= 560  # reference: 482-512
-    assert abs(space.ng - 2549) / 2549 < 0.10  # reference ng at ne=512
+    assert mesh.num_cells == 512  # the reference's exact element count
+    assert abs(space.ng - 2549) / 2549 < 0.02  # ours: 2539 (topology differs)
     # no vertex inside the hole; hole boundary resolved
     r = np.hypot(*mesh.vertices.T)
     assert r.min() > 0.49

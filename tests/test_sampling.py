@@ -136,3 +136,30 @@ def test_stream_ic_divergence_free_and_noslip():
     uy = np.asarray(stream_ic_at_points(ks, ls, amps, py))[0]
     div = (ux[0, 0] - ux[1, 0]) / (2 * h) + (uy[0, 1] - uy[1, 1]) / (2 * h)
     assert abs(div) < 1e-5
+
+
+def test_grid_interpolator_cubic_matches_griddata():
+    """method='cubic' must reproduce scipy griddata(method='cubic') — the
+    reference's GRF featurization (FEONet-square-with-hole/
+    create_data.py:92-93) — exactly, via the precomputed linear map."""
+    from scipy.interpolate import griddata
+
+    rng = np.random.default_rng(7)
+    pts = np.concatenate(
+        [rng.uniform(-1, 1, (150, 2)),
+         np.array([[-1, -1], [-1, 1], [1, -1], [1, 1]])], axis=0
+    )
+    interp = GridInterpolator.build(pts, resol=12, method="cubic")
+    vals = rng.standard_normal((3, pts.shape[0]))
+    out = np.asarray(interp(jnp.asarray(vals)))
+    g = np.linspace(-1, 1, 12)
+    xx, yy = np.meshgrid(g, g, indexing="ij")
+    for b in range(3):
+        want = griddata(pts, vals[b], (xx, yy), method="cubic", fill_value=0.0)
+        # CT gradient estimation is an iterative solve (tol 1e-6): the probed
+        # linear map agrees to solver tolerance, not machine precision
+        np.testing.assert_allclose(out[b], want, rtol=1e-5, atol=1e-6)
+    # cubic reproduces linear functions exactly too
+    lin = 2.0 * pts[:, 0] - 3.0 * pts[:, 1] + 0.5
+    out_lin = np.asarray(interp(jnp.asarray(lin)[None]))[0]
+    np.testing.assert_allclose(out_lin, 2.0 * xx - 3.0 * yy + 0.5, atol=1e-6)
