@@ -272,3 +272,227 @@ def bsr_matmat(u: Array, op: BlockSparseOperator, interpret: bool | None = None)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _bsr_matmat_impl(u, op, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel (row-block-sharded) BSR operators
+# ---------------------------------------------------------------------------
+
+
+def bsr_to_csr(op: BlockSparseOperator):
+    """Reconstruct the (padded-shape) scipy CSR matrix from a BSR operator.
+
+    Stored tiles appear in the flat stream in CSR order with consecutive ids
+    (both builders guarantee this); zero-tile steps (empty row-blocks) are
+    skipped. Host-side, used once when sharding operators for tensor
+    parallelism."""
+    from scipy.sparse import bsr_matrix
+
+    blocks = np.asarray(op.blocks)
+    n_stored = blocks.shape[0] - 1
+    ids = np.asarray(op.tile_id)
+    rows = np.asarray(op.tile_row)
+    cols = np.asarray(op.tile_col)
+    real = ids != n_stored
+    counts = np.bincount(rows[real], minlength=op.n_row_blocks)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    mat = bsr_matrix(
+        (blocks[:n_stored], cols[real], indptr),
+        shape=(op.ng_pad, op.n_in_pad),
+    )
+    return mat.tocsr()
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedBlockSparseOperator:
+    """Row-block-sharded BSR operator for tensor parallelism (VERDICT item:
+    TP previously replicated BSR operators, so the model axis cut only
+    head/optimizer memory).
+
+    The row-blocks of A are partitioned into ``m`` contiguous shards over the
+    mesh's model axis; each device stores only its shard's tiles (operator
+    memory / m) and computes its row slice of Y = U @ A^T from the replicated
+    U (residual FLOPs / m). Forward: shard_map, out-specs concatenate the row
+    slices over 'model'. Backward: each device applies its shard's transpose
+    to its cotangent slice and the partials are psum'd over 'model' — no
+    dense operator, no full-size per-device matmul anywhere.
+
+    Stacked arrays carry a leading shard axis of size m (streams padded to
+    the longest shard with no-op steps that keep accumulating zeros into the
+    shard's last row-block)."""
+
+    f_blocks: Array  # (m, nb_f + 1, BLK, BLK)
+    f_row: Array  # (m, s_f)
+    f_col: Array
+    f_id: Array
+    f_first: Array
+    b_blocks: Array  # (m, nb_b + 1, BLK, BLK) — per-shard transpose
+    b_row: Array  # (m, s_b)
+    b_col: Array
+    b_id: Array
+    b_first: Array
+    ng: int  # logical output rows of A
+    n_in: int  # logical input size
+    n_in_pad: int
+    rows_pad: int  # per-shard padded output rows (m * rows_pad >= ng)
+    mesh: Any  # jax.sharding.Mesh (static)
+    axis: str = "model"
+    data_axis: str = "data"
+
+    @property
+    def m(self) -> int:
+        return self.f_blocks.shape[0]
+
+    def __call__(self, u: Array) -> Array:
+        return sharded_bsr_apply(u, self)
+
+
+jax.tree_util.register_pytree_node(
+    ShardedBlockSparseOperator,
+    lambda op: (
+        (op.f_blocks, op.f_row, op.f_col, op.f_id, op.f_first,
+         op.b_blocks, op.b_row, op.b_col, op.b_id, op.b_first),
+        (op.ng, op.n_in, op.n_in_pad, op.rows_pad, op.mesh, op.axis,
+         op.data_axis),
+    ),
+    lambda aux, leaves: ShardedBlockSparseOperator(*leaves, *aux),
+)
+
+
+def _pad_shard_ops(ops: list[BlockSparseOperator]):
+    """Stack per-shard operators, padding blocks and streams to the longest.
+
+    Stream padding appends steps that accumulate the zero tile into the
+    shard's LAST row-block (no revisit of flushed output tiles, no effect on
+    values). Block padding appends zero tiles after each shard's own zero
+    tile, so stored ids stay valid."""
+    nb_max = max(o.blocks.shape[0] for o in ops)
+    s_max = max(o.n_steps for o in ops)
+
+    def pad_one(o: BlockSparseOperator):
+        blocks = np.asarray(o.blocks)
+        blocks = np.concatenate(
+            [blocks, np.zeros((nb_max - blocks.shape[0], BLK, BLK), np.float32)]
+        )
+        pad = s_max - o.n_steps
+        zero_id = np.asarray(o.blocks).shape[0] - 1
+        row = np.concatenate([np.asarray(o.tile_row),
+                              np.full(pad, o.n_row_blocks - 1, np.int32)])
+        col = np.concatenate([np.asarray(o.tile_col), np.zeros(pad, np.int32)])
+        ids = np.concatenate([np.asarray(o.tile_id),
+                              np.full(pad, zero_id, np.int32)])
+        first = np.concatenate([np.asarray(o.tile_first), np.zeros(pad, np.int32)])
+        return blocks, row, col, ids, first
+
+    parts = [pad_one(o) for o in ops]
+    stack = lambda i: jnp.asarray(np.stack([p[i] for p in parts]))
+    return stack(0), stack(1), stack(2), stack(3), stack(4)
+
+
+def sharded_bsr_from_csr(
+    A_csr, mesh, axis: str = "model", data_axis: str = "data"
+) -> ShardedBlockSparseOperator:
+    """Partition a scipy CSR matrix into row-block shards over ``axis``."""
+    from scipy.sparse import csr_matrix
+
+    A = csr_matrix(A_csr).astype(np.float32)
+    ng, n_in = A.shape
+    m = mesh.shape[axis]
+    nb = -(-ng // BLK)
+    nb_per = -(-nb // m)
+    rows_pad = nb_per * BLK
+    n_in_pad = -(-n_in // BLK) * BLK
+    A_full = csr_matrix(A, copy=True)
+    A_full.resize((m * rows_pad, n_in_pad))
+    f_ops, b_ops = [], []
+    for k in range(m):
+        Ak = A_full[k * rows_pad : (k + 1) * rows_pad]
+        f_ops.append(bsr_from_csr(Ak))
+        b_ops.append(bsr_from_csr(Ak.T.tocsr()))
+    f = _pad_shard_ops(f_ops)
+    b = _pad_shard_ops(b_ops)
+    return ShardedBlockSparseOperator(
+        *f, *b,
+        ng=ng, n_in=n_in, n_in_pad=n_in_pad, rows_pad=rows_pad,
+        mesh=mesh, axis=axis, data_axis=data_axis,
+    )
+
+
+def _local_op(blocks, row, col, ids, first, ng, ng_pad, n_in, n_in_pad):
+    return BlockSparseOperator(
+        blocks=blocks, tile_row=row, tile_col=col, tile_id=ids,
+        tile_first=first, ng=ng, ng_pad=ng_pad, n_in=n_in, n_in_pad=n_in_pad,
+    )
+
+
+@jax.custom_vjp
+def sharded_bsr_apply(u: Array, sop: ShardedBlockSparseOperator) -> Array:
+    """Differentiable Y = U @ A^T with A row-block-sharded over the model
+    axis. u: (B, n_in) replicated over 'model' (sharded over 'data');
+    returns (B, ng) in the same layout."""
+    return _sharded_fwd_impl(u, sop)
+
+
+def _sharded_fwd_impl(u, sop):
+    from jax.sharding import PartitionSpec as P
+
+    mesh = sop.mesh
+    d = sop.data_axis if sop.data_axis in mesh.shape else None
+
+    def local(u_loc, blocks, row, col, ids, first):
+        op = _local_op(
+            blocks[0], row[0], col[0], ids[0], first[0],
+            ng=sop.rows_pad, ng_pad=sop.rows_pad,
+            n_in=sop.n_in, n_in_pad=sop.n_in_pad,
+        )
+        return bsr_matmat(u_loc, op)
+
+    y = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(d, None), P(sop.axis), P(sop.axis), P(sop.axis),
+                  P(sop.axis), P(sop.axis)),
+        out_specs=P(d, sop.axis),
+        check_vma=False,
+    )(u, sop.f_blocks, sop.f_row, sop.f_col, sop.f_id, sop.f_first)
+    return y[:, : sop.ng]
+
+
+def _sharded_bwd_impl(g, sop):
+    from jax.sharding import PartitionSpec as P
+
+    mesh = sop.mesh
+    d = sop.data_axis if sop.data_axis in mesh.shape else None
+    m = sop.m
+    g_pad = jnp.zeros((g.shape[0], m * sop.rows_pad), dtype=g.dtype)
+    g_pad = g_pad.at[:, : sop.ng].set(g)
+
+    def local(g_loc, blocks, row, col, ids, first):
+        op_t = _local_op(
+            blocks[0], row[0], col[0], ids[0], first[0],
+            ng=sop.n_in, ng_pad=sop.n_in_pad,
+            n_in=sop.rows_pad, n_in_pad=sop.rows_pad,
+        )
+        part = bsr_matmat(g_loc, op_t)  # (B_loc, n_in)
+        return jax.lax.psum(part, sop.axis)
+
+    du = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(d, sop.axis), P(sop.axis), P(sop.axis), P(sop.axis),
+                  P(sop.axis), P(sop.axis)),
+        out_specs=P(d, None),
+        check_vma=False,
+    )(g_pad, sop.b_blocks, sop.b_row, sop.b_col, sop.b_id, sop.b_first)
+    return du
+
+
+def _sharded_apply_fwd(u, sop):
+    return _sharded_fwd_impl(u, sop), sop
+
+
+def _sharded_apply_bwd(sop, g):
+    return _sharded_bwd_impl(g, sop), None
+
+
+sharded_bsr_apply.defvjp(_sharded_apply_fwd, _sharded_apply_bwd)

@@ -85,9 +85,12 @@ def shard_params(params, mesh: Mesh, ng: int):
 def shard_ops(ops: dict, mesh: Mesh):
     """Place the operator pytree for tensor parallelism: dense (ng, ng)
     operators row-sharded over 'model' when ng divides the axis size (each
-    device then applies its row block to the replicated prediction),
-    everything else — vectors, masks, operators with indivisible ng, Pallas
-    BSR operators (whose tiles must stay whole) — replicated."""
+    device then applies its row block to the replicated prediction); Pallas
+    BSR operator pairs rebuilt as row-block-sharded
+    ShardedBlockSparseOperators (per-device operator memory and residual
+    FLOPs both / model-axis); everything else — vectors, masks, the BPX
+    congruence factor (both directions are primal ops; kept replicated) —
+    replicated."""
     import jax.numpy as jnp
 
     m = mesh.shape["model"]
@@ -104,10 +107,20 @@ def shard_ops(ops: dict, mesh: Mesh):
             return jax.device_put(leaf, row)
         return jax.device_put(leaf, repl)
 
-    return {
-        k: place(v) if not isinstance(v, tuple) else jax.device_put(v, repl)
-        for k, v in ops.items()
-    }
+    out = {}
+    for k, v in ops.items():
+        if isinstance(v, tuple):
+            if k == "bpx_G":
+                out[k] = jax.device_put(v, repl)
+            else:
+                from ..ops.block_sparse import bsr_to_csr, sharded_bsr_from_csr
+
+                fwd = v[0]
+                csr = bsr_to_csr(fwd)[: fwd.ng, : fwd.n_in].tocsr()
+                out[k] = sharded_bsr_from_csr(csr, mesh)
+        else:
+            out[k] = place(v)
+    return out
 
 
 def pad_to_multiple(x: Array, m: int, axis: int = 0) -> Array:

@@ -39,16 +39,23 @@ def _mm(x: Array, op_t: Array) -> Array:
 
 
 def _apply_op(x: Array, op) -> Array:
-    """x @ A^T where `op` is either a dense (ng, ng) array or a
-    (BlockSparseOperator, BlockSparseOperator-transpose) pair — the Pallas
-    block-sparse path for the ~50k-DoF stretch configs (ops/block_sparse.py).
-    Leading dims of x are flattened for the kernel and restored."""
+    """x @ A^T where `op` is a dense (ng, ng) array, a (BlockSparseOperator,
+    BlockSparseOperator-transpose) pair — the Pallas block-sparse path for
+    the ~50k-DoF stretch configs (ops/block_sparse.py) — or a
+    ShardedBlockSparseOperator (row-block shards over the tensor-parallel
+    model axis). Leading dims of x are flattened for the kernel and
+    restored."""
     if isinstance(op, tuple):
         from ..ops.block_sparse import bsr_apply
 
         fwd, bwd = op
         flat = x.reshape(-1, x.shape[-1])
         return bsr_apply(flat, fwd, bwd).reshape(x.shape)
+    from ..ops.block_sparse import ShardedBlockSparseOperator
+
+    if isinstance(op, ShardedBlockSparseOperator):
+        flat = x.reshape(-1, x.shape[-1])
+        return op(flat).reshape(x.shape[:-1] + (op.ng,))
     return _mm(x, op.T)
 
 

@@ -87,6 +87,7 @@ def cmd_train(args) -> int:
         lr=args.lr,
         lr_schedule=args.lr_schedule,
         ema_decay=args.ema_decay,
+        grad_clip=args.grad_clip,
         epochs=args.epochs,
         num_train=z["train_coeff_f"].shape[0],
         num_val=z["val_coeff_f"].shape[0],
@@ -140,6 +141,7 @@ def main() -> int:
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--lr-schedule", default="constant")
     t.add_argument("--ema-decay", type=float, default=0.0)
+    t.add_argument("--grad-clip", type=float, default=0.0)
     t.add_argument("--eval-every", type=int, default=1000)
     t.add_argument("--ckpt-dir", default=None)
     t.add_argument("--log", default=None)
