@@ -7,6 +7,11 @@ model (tensor) parallelism for the large-ng stretch configs are native:
 `jax.sharding` meshes, sharding annotations on inputs/params, XLA-inserted
 collectives (see mesh.py)."""
 
+from .multihost import (
+    dryrun_multihost,
+    global_batch,
+    init_distributed,
+)
 from .mesh import (
     data_mesh,
     data_model_mesh,
@@ -27,4 +32,7 @@ __all__ = [
     "shard_batch",
     "shard_ops",
     "shard_params",
+    "dryrun_multihost",
+    "global_batch",
+    "init_distributed",
 ]
