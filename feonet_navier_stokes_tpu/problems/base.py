@@ -143,8 +143,9 @@ class ProblemConfig:
     # m ~ 1.4*ng coefficients w; training solves the O(1)-conditioned
     # G^T A G w = G^T(f - A u_bc) and u = G w + u_bc imposes BCs exactly.
     # The scalable (sparse, BSR-tileable) replacement for dense SPAI at the
-    # ~50k-DoF stretch scale. stokes_square only (needs the structured
-    # nested-mesh hierarchy).
+    # ~50k-DoF stretch scale. stokes_square/steady_ns use the structured
+    # nested-mesh hierarchy; stokes_hole uses the algebraic (vector-block
+    # smoothed-aggregation) hierarchy in linalg/amg.py.
     bpx_levels: int = 0
     dtype: Any = jnp.float32
 
@@ -263,17 +264,30 @@ class Problem:
             if c.precond_iters > 0 or c.equilibrate:
                 raise ValueError("bpx_levels is exclusive of precond_iters/"
                                  "equilibrate")
-            if c.name not in ("stokes_square", "steady_ns"):
+            if c.name == "stokes_hole":
+                # unstructured domain: vector-block smoothed-aggregation
+                # hierarchy (linalg/amg.py) in place of nested meshes —
+                # the label-free large-ng path the reference's open problem
+                # lacks (its dense SPAI is the only conditioning it has)
+                from ..linalg.amg import bpx_factor_algebraic
+
+                fac = bpx_factor_algebraic(
+                    space, bc.mask, bc.values, mu, A64=A64,
+                    max_levels=max(c.bpx_levels, 2),
+                )
+            elif c.name not in ("stokes_square", "steady_ns"):
                 raise ValueError(
                     "bpx_levels requires the structured nested-mesh "
-                    "hierarchy (stokes_square / steady_ns)"
+                    "hierarchy (stokes_square / steady_ns) or the "
+                    "algebraic-hierarchy path (stokes_hole)"
                 )
-            from ..linalg.bpx import bpx_factor
+            else:
+                from ..linalg.bpx import bpx_factor
 
-            fac = bpx_factor(
-                space, c.nx, bc.mask, bc.values, c.bc, mu,
-                levels=c.bpx_levels,
-            )
+                fac = bpx_factor(
+                    space, c.nx, bc.mask, bc.values, c.bc, mu,
+                    levels=c.bpx_levels,
+                )
             self.bpx64 = fac
             self.precond64 = None
             self.precond = None
