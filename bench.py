@@ -156,9 +156,58 @@ def check_bsr_compiled(nx: int = 16) -> float:
     return float(np.abs(y - y_ref).max() / scale)
 
 
+def measure_breakdown(problem, trainer, batch_d, n: int = 30) -> dict:
+    """Where does the step time go? Times separately-jitted stages:
+    featurize+forward, loss given activations, full grad, optimizer-only —
+    the MFU diagnosis VERDICT item 4 asks for."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(1)
+    state = trainer.state
+    ops = trainer.ops
+
+    def timed(fn, *args):
+        r = fn(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n * 1e3  # ms
+
+    fwd = jax.jit(lambda p, b: trainer._apply(
+        p, state.batch_stats, problem.model_input(b, trainer.config.model),
+        train=False)[0])
+    t_fwd = timed(fwd, state.params, batch_d)
+    pred = fwd(state.params, batch_d)
+    loss_only = jax.jit(lambda o, b, op: problem.loss(o, b, op))
+    t_loss = timed(loss_only, pred, batch_d, ops)
+
+    def grad_fn(p, b, r, op):
+        return jax.grad(
+            lambda pp: trainer._loss_value(pp, state.batch_stats, b, r, op)[0]
+        )(p)
+
+    t_grad = timed(jax.jit(grad_fn), state.params, batch_d, rng, ops)
+
+    def full(st, b, r, op):
+        return trainer._train_step_impl(st, b, r, op)
+
+    t_full = timed(jax.jit(full), state, batch_d, rng, ops)
+    return {
+        "fwd_ms": round(t_fwd, 3),
+        "loss_ms": round(t_loss, 3),
+        "grad_ms": round(t_grad, 3),
+        "full_step_ms": round(t_full, 3),
+        "optimizer_ms": round(t_full - t_grad, 3),
+    }
+
+
 def main() -> int:
     import jax
 
+    breakdown = "--breakdown" in sys.argv
     out = {"metric": "train_steps_per_sec_512dof", "unit": "steps/s"}
 
     # headline: SAME (ng=2563, B=1000, R=20) workload as the CPU baseline
@@ -185,13 +234,20 @@ def main() -> int:
     try:
         _, trb, bb = _build_trainer(nx=72, batch=256, resol=20,
                                     op_format="bsr", filters=8)
-        out["bsr_50k_steps_per_sec"] = round(
-            measure_steps_per_sec(trb, bb, 10), 3
-        )
+        bsr_sps = measure_steps_per_sec(trb, bb, 10)
+        out["bsr_50k_steps_per_sec"] = round(bsr_sps, 3)
+        bsr_flops = measure_step_flops(trb, bb)
+        if bsr_flops:
+            out["bsr_mfu_pct"] = round(
+                100.0 * bsr_flops * bsr_sps / V5E_PEAK_FLOPS, 2
+            )
     except Exception as e:  # keep the headline JSON even if the stretch OOMs
         out["bsr_50k_error"] = type(e).__name__
 
     print(json.dumps(out))
+    if breakdown:
+        bd = measure_breakdown(problem, trainer, batch_d)
+        print(json.dumps({"metric": "step_breakdown_512dof", **bd}))
     return 0
 
 

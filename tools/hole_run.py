@@ -1,0 +1,167 @@
+"""Square-with-hole headline run: the reference's open problem at exact scale.
+
+Reference config (BASELINE.md row 3): ne=512, channel_flow BC, GRF forcing,
+Net2D(resol 50), SPAI(10000); its committed result is UNCONVERGED
+(u1/u2/p/coeff = 0.1409/0.5721/0.8972/0.5869,
+FEONet-square-with-hole/plot_results_channel_grf.ipynb cell 18).
+
+  python tools/hole_run.py prepare            # CPU: SPAI(10000) + datasets
+  python tools/hole_run.py train --epochs 80000   # TPU training + rel-L2
+
+prepare is pure host float64 (run with JAX_PLATFORM_NAME=cpu to keep the
+TPU tunnel free); train wants the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART_DEFAULT = "artifacts/hole512_channel_grf.npz"
+
+
+def _problem(precond_iters: int = 0, interp: str = "cubic", resol_in: int = 50):
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    return build_problem(
+        ProblemConfig(
+            name="stokes_hole", bc="channel_flow", forcing="grf",
+            resol_in=resol_in, precond_iters=precond_iters, interp=interp,
+        )
+    )
+
+
+def cmd_prepare(args) -> int:
+    import jax
+
+    t0 = time.time()
+    p = _problem(interp=args.interp, resol_in=args.resol_in)
+    from feonet_navier_stokes_tpu.linalg import spai, condition_number
+
+    print(f"hole problem ne={p.space.mesh.num_cells} ng={p.ng} "
+          f"[{time.time()-t0:.0f}s]", flush=True)
+    M = spai(p.A64, args.spai_iters)
+    cond = condition_number(p.A64 @ M)
+    print(f"SPAI({args.spai_iters}) cond: {cond:.7f} "
+          f"(reference 1.0000006 at its mesh) [{time.time()-t0:.0f}s]",
+          flush=True)
+    train_b, train_t = p.sample_converged(jax.random.PRNGKey(5), args.num)
+    val_b, val_t = p.sample_converged(jax.random.PRNGKey(10), args.num)
+    os.makedirs(os.path.dirname(args.art), exist_ok=True)
+    np.savez(
+        args.art,
+        precond=np.asarray(M),
+        cond_after=cond,
+        resol_in=args.resol_in,
+        interp=args.interp,
+        **{f"train_{k}": np.asarray(v) for k, v in train_b.items()},
+        train_truth=np.asarray(train_t),
+        **{f"val_{k}": np.asarray(v) for k, v in val_b.items()},
+        val_truth=np.asarray(val_t),
+    )
+    print(f"artifacts -> {args.art} [{time.time()-t0:.0f}s total]", flush=True)
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig, Dataset
+
+    z = np.load(args.art)
+    interp = str(z["interp"]) if "interp" in z.files else "cubic"
+    resol_in = int(z["resol_in"]) if "resol_in" in z.files else 50
+    p = _problem(interp=interp, resol_in=resol_in)
+    p.set_precond(z["precond"])
+    mkw = json.loads(args.model_kwargs)
+    tc = TrainConfig(
+        model=args.model,
+        model_kwargs=mkw,
+        lr=args.lr,
+        lr_schedule=args.lr_schedule,
+        ema_decay=args.ema_decay,
+        grad_clip=args.grad_clip,
+        epochs=args.epochs,
+        num_train=int(z["train_truth"].shape[0]),
+        num_val=int(z["val_truth"].shape[0]),
+        eval_every=args.eval_every,
+        ckpt_dir=args.ckpt_dir,
+        log_path=args.log,
+    )
+    trainer = Trainer(p, tc)
+    print(f"devices={jax.devices()} params={trainer.n_params:,} "
+          f"cond(op)={float(z['cond_after']):.6f}", flush=True)
+    f32 = jnp.float32
+
+    def _ds(prefix):
+        batch = {
+            k[len(prefix) + 1:]: jnp.asarray(z[k], f32)
+            for k in z.files
+            if k.startswith(prefix + "_") and not k.endswith("truth")
+        }
+        return Dataset(batch, jnp.asarray(z[f"{prefix}_truth"], f32))
+
+    t0 = time.time()
+    trainer.fit(_ds("train"), _ds("val"), verbose=True)
+    wall = time.time() - t0
+    final = trainer.history[-1]
+    result = {
+        "problem": f"stokes_hole ne=512 (ng={p.ng}) channel_flow GRF, "
+                   f"{args.model} + SPAI(10000), interp={interp}, "
+                   f"resol_in={resol_in}",
+        "epochs": args.epochs,
+        "wall_s": round(wall, 1),
+        "model_kwargs": mkw,
+        "lr": f"{args.lr} {args.lr_schedule}",
+        "ema_decay": args.ema_decay,
+        "rel_l2": {k: final[k] for k in ("u1", "u2", "p", "coeff")},
+        "reference": {
+            "u1": 0.1409, "u2": 0.5721, "p": 0.8972, "coeff": 0.5869,
+            "note": "unconverged — open problem in the reference",
+        },
+    }
+    print(json.dumps(result), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    a = sub.add_parser("prepare")
+    a.add_argument("--art", default=ART_DEFAULT)
+    a.add_argument("--num", type=int, default=1000)
+    a.add_argument("--spai-iters", type=int, default=10000)
+    a.add_argument("--interp", default="cubic")
+    a.add_argument("--resol-in", type=int, default=50)
+    a.set_defaults(fn=cmd_prepare)
+    t = sub.add_parser("train")
+    t.add_argument("--art", default=ART_DEFAULT)
+    t.add_argument("--model", default="Net2D")
+    t.add_argument("--model-kwargs", default='{"filters": 32}')
+    t.add_argument("--epochs", type=int, default=80000)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--lr-schedule", default="cosine")
+    t.add_argument("--ema-decay", type=float, default=0.0)
+    t.add_argument("--grad-clip", type=float, default=0.0)
+    t.add_argument("--eval-every", type=int, default=2000)
+    t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--log", default=None)
+    t.add_argument("--out", default=None)
+    t.set_defaults(fn=cmd_train)
+    args = ap.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
