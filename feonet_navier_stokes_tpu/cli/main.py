@@ -37,6 +37,11 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ns-truth", default="weak", choices=["weak", "group"],
                    help="steady-NS ground-truth system: true trilinear form "
                         "(FEniCS-like) or the group-FEM training system")
+    p.add_argument("--ns-truth-mu-factor", type=float, default=1.0,
+                   help="viscosity factor for the NS ground-truth solve; 0.5 "
+                        "reproduces the reference's half-viscosity truth "
+                        "(assemble_fenics.py:192 vs :88 — an upstream wart), "
+                        "1.0 solves the self-consistent system")
     p.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
     p.add_argument("--interp", default="cubic", choices=["cubic", "linear"],
                    help="GRF scattered->grid featurization: cubic = the "
@@ -71,6 +76,7 @@ def _build_problem(args):
         precond_iters=args.precond,
         mu=args.mu,
         ns_truth=args.ns_truth,
+        ns_truth_mu_factor=args.ns_truth_mu_factor,
         op_format=args.op_format,
         interp=args.interp,
         bpx_levels=args.bpx_levels,
