@@ -624,15 +624,30 @@ class Problem:
                 )
             return sum_of_squares(bpx_project(r, bpx_G))
         if c.name == "steady_ns":
+            if "u0" in batch:  # cascade stage 2: defect of a frozen stage-1
+                from ..residual.losses import nonlinear_defect_residual
+
+                return nonlinear_defect_residual(
+                    pred, ops["op_train"], batch["load"], ops["B1"],
+                    ops["B2"], self.n2, batch["u0"], batch["B1u0"],
+                    batch["B2u0"], conv_row_mask=ops.get("conv_row_mask"),
+                    equil_dc=ops.get("equil_dc"),
+                    equil_dr=ops.get("equil_dr"),
+                )
             return nonlinear_residual(
                 pred, ops["op_train"], batch["load"], ops["B1"], ops["B2"],
                 self.n2, conv_row_mask=ops.get("conv_row_mask"),
                 equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
             )
         if c.name == "timedep_stokes":
+            # cascade stage 2 carries a per-step defect RHS in 'load' and a
+            # zero recursion init in 'u_init_loss' (u_init stays for the
+            # featurization input)
+            load = batch.get("load", ops["load_const"])
+            u_init = batch.get("u_init_loss", batch["u_init"])
             return rollout_residual(
-                pred, ops["S"], ops["op_train"], ops["load_const"], c.dt,
-                batch["u_init"], precond=ops.get("precond"),
+                pred, ops["S"], ops["op_train"], load, c.dt,
+                u_init, precond=ops.get("precond"),
                 equil_dc=ops.get("equil_dc"),
             )
         if c.name == "timedep_ns":
@@ -646,6 +661,99 @@ class Problem:
                 equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
             )
         return linear_residual(pred, ops["op_train"], batch["load"])
+
+    def defect_batch64(
+        self, batch: dict[str, Array], pred: Array
+    ) -> dict[str, Array]:
+        """Cascade stage-2 training batch: the f64-recomputed DEFECT of a
+        frozen stage-1 prediction (residual boosting — no reference
+        counterpart). Featurization inputs are kept; the RHS is replaced so
+        that a fresh network trained on this batch learns the correction ê
+        in the SAME training coordinates (combined prediction = pred + ê;
+        ``unmap`` applies unchanged).
+
+        pred: stage-1 outputs in training coordinates (B, d_out) or
+        (B, T, d_out), float32. All heavy arithmetic is host float64.
+        """
+        c = self.config
+        dtype = c.dtype
+        pred64 = np.asarray(pred, dtype=np.float64)
+        out = {k: v for k, v in batch.items()}
+
+        def matT(A, X):
+            """X @ A.T for dense ndarray or scipy sparse A (f64, no densify)."""
+            if hasattr(A, "tocsr"):  # scipy sparse
+                flat = X.reshape(-1, X.shape[-1])
+                return np.asarray((A @ flat.T).T).reshape(
+                    X.shape[:-1] + (A.shape[0],)
+                )
+            return X @ A.T
+
+        if c.name in _TIMEDEP:
+            if c.name == "timedep_ns":
+                raise NotImplementedError("cascade for timedep_ns")
+            dr_dc = self.equil64
+            u_phys = pred64
+            if self.precond64 is not None:
+                u_phys = pred64 @ self.precond64.T
+            elif dr_dc is not None:
+                u_phys = pred64 * dr_dc[1]
+            u_init = self.u_init64(batch)
+            prev = np.concatenate([u_init[:, None, :], u_phys[:, :-1]], axis=1)
+            r0 = (matT(self.sys64, u_phys) - matT(self.S64, prev)
+                  - c.dt * self.load_const64)
+            if dr_dc is not None:
+                r0 = r0 * dr_dc[0]
+            # loss computes lhs - (S e_prev + dt*load): load = -r0/dt
+            out["load"] = jnp.asarray(-r0 / c.dt, dtype=dtype)
+            out["u_init_loss"] = jnp.zeros_like(batch["u_init"])
+            return out
+
+        load64 = self.load64(batch, raw=self.bpx64 is not None)
+        if c.name == "steady_ns":
+            mask64 = np.asarray(self.bc.mask, dtype=np.float64)
+            dr_dc = self.equil64
+            u0 = pred64 * dr_dc[1] if dr_dc is not None else pred64
+            n2 = self.n2
+            B1u0 = matT(self.B1_64, u0)
+            B2u0 = matT(self.B2_64, u0)
+            d1 = np.concatenate(
+                [u0[:, :n2], u0[:, :n2], np.zeros_like(u0[:, 2 * n2 :])],
+                axis=1,
+            )
+            d2 = np.concatenate(
+                [u0[:, n2 : 2 * n2], u0[:, n2 : 2 * n2],
+                 np.zeros_like(u0[:, 2 * n2 :])], axis=1,
+            )
+            conv0 = d1 * B1u0 + d2 * B2u0
+            if c.ns_bc_rows == "masked":
+                conv0 = conv0 * (1.0 - mask64)
+            r0 = load64 - matT(self.A64, u0) - conv0
+            if dr_dc is not None:
+                r0 = r0 * dr_dc[0]
+            out["load"] = jnp.asarray(r0, dtype=dtype)
+            out["u0"] = jnp.asarray(u0, dtype=dtype)
+            out["B1u0"] = jnp.asarray(B1u0, dtype=dtype)
+            out["B2u0"] = jnp.asarray(B2u0, dtype=dtype)
+            return out
+
+        # steady linear: r0 = f - OP u0 in the training equation space
+        if self.bpx64 is not None:
+            u0 = (self.bpx64.G @ pred64.T).T + self.bpx64.u_bc
+            r0 = load64 - matT(self.A64, u0)
+            # stage-2 objective: G^T(A G e - r0) — same loss with u_bc=0;
+            # the TOOL must zero ops['bpx_ubc'] for the stage-2 trainer
+            out["load"] = jnp.asarray(r0, dtype=dtype)
+            return out
+        if self.precond64 is not None:
+            r0 = load64 - matT(self.A64, pred64 @ self.precond64.T)
+        elif self.equil64 is not None:
+            dr, dc = self.equil64
+            r0 = dr * (load64 - matT(self.A64, pred64 * dc))
+        else:
+            r0 = load64 - matT(self.A64, pred64)
+        out["load"] = jnp.asarray(r0, dtype=dtype)
+        return out
 
     def unmap(self, pred: Array, ops: dict | None = None) -> Array:
         """Map network output to solution coefficients: apply SPAI M, the

@@ -7,6 +7,7 @@ reference: FEONet_Stokes_square/train_FEONet.py:261-301)."""
 
 from .losses import (
     linear_residual,
+    nonlinear_defect_residual,
     nonlinear_residual,
     rollout_residual,
     rollout_ns_residual,
@@ -15,6 +16,7 @@ from .losses import (
 
 __all__ = [
     "linear_residual",
+    "nonlinear_defect_residual",
     "nonlinear_residual",
     "rollout_residual",
     "rollout_ns_residual",

@@ -138,6 +138,57 @@ def nonlinear_residual(
     return sum_of_squares(resid)
 
 
+def _diag_pair(u: Array, n2: int) -> tuple[Array, Array]:
+    z = jnp.zeros_like(u[..., 2 * n2 :])
+    d1 = jnp.concatenate([u[..., :n2], u[..., :n2], z], axis=-1)
+    d2 = jnp.concatenate(
+        [u[..., n2 : 2 * n2], u[..., n2 : 2 * n2], z], axis=-1
+    )
+    return d1, d2
+
+
+def nonlinear_defect_residual(
+    pred: Array,
+    op: Array,
+    rhs: Array,
+    B1: Array,
+    B2: Array,
+    n2: int,
+    u0: Array,
+    B1u0: Array,
+    B2u0: Array,
+    conv_row_mask: Array | None = None,
+    equil_dc: Array | None = None,
+    equil_dr: Array | None = None,
+) -> Array:
+    """Cascade stage-2 steady-NS loss: the group-FEM residual expanded about
+    a frozen stage-1 state u0 (per-sample constants u0, B1u0 = B1 @ u0,
+    B2u0 precomputed in f64 by Problem.defect_batch64):
+
+        A e + d(u0)∘(B e) + d(e)∘(B u0) + conv(e) = r0
+
+    with r0 = f - A u0 - conv(u0). Exact quadratic expansion — the combined
+    prediction u0 + e satisfies the ORIGINAL residual up to f32 rounding.
+    Equilibrated variant: predictions are ê (physical e = dc∘ê), all
+    convective terms on physical states, rows re-scaled by dr.
+    """
+    e_phys = pred * equil_dc if equil_dc is not None else pred
+    d1_0, d2_0 = _diag_pair(u0, n2)
+    d1_e, d2_e = _diag_pair(e_phys, n2)
+    B1e = _apply_op(e_phys, B1)
+    B2e = _apply_op(e_phys, B2)
+    cross = (
+        d1_0 * B1e + d1_e * B1u0 + d1_e * B1e
+        + d2_0 * B2e + d2_e * B2u0 + d2_e * B2e
+    )
+    if conv_row_mask is not None:
+        cross = cross * (1.0 - conv_row_mask)
+    if equil_dr is not None:
+        cross = cross * equil_dr
+    resid = _apply_op(pred, op) + cross - rhs
+    return sum_of_squares(resid)
+
+
 def rollout_residual(
     pred_seq: Array,
     S: Array,
@@ -186,9 +237,13 @@ def rollout_residual(
         prev_pred = prev_pred * equil_dc
     prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     lhs = _apply_op(pred_seq, sys_op)
-    rhs = _apply_op(prev, S) + dt * jnp.broadcast_to(
-        load, pred_seq.shape[:1] + load.shape[-1:]
-    )[:, None, :]
+    if load.ndim == pred_seq.ndim:  # per-step RHS (B, T, ng) — cascade path
+        f_term = dt * load
+    else:
+        f_term = dt * jnp.broadcast_to(
+            load, pred_seq.shape[:1] + load.shape[-1:]
+        )[:, None, :]
+    rhs = _apply_op(prev, S) + f_term
     per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
     return jnp.mean(per_t)
 

@@ -1,0 +1,90 @@
+"""Residual cascade (stage-2 defect training): exactness identities.
+
+The defect batch (Problem.defect_batch64) must satisfy: the exact correction
+e* = (training-coordinate truth) - u0 zeroes the stage-2 loss, for every
+conditioning mode — because the stage-2 system is the exact (linear or
+quadratic) expansion of the original residual about the frozen stage-1
+state u0."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+
+def _uhat_truth(p, batch, truth64):
+    """Map physical truth into the training coordinates."""
+    if p.precond64 is not None:
+        return np.linalg.solve(p.precond64, truth64.T).T
+    if p.equil64 is not None:
+        return truth64 / p.equil64[1]
+    if p.bpx64 is not None:
+        G = p.bpx64.G.toarray()
+        w, *_ = np.linalg.lstsq(G, (truth64 - p.bpx64.u_bc).T, rcond=None)
+        return w.T
+    return truth64
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"equilibrate": True},
+    {"precond_iters": 300},
+    {"bpx_levels": 2},
+])
+def test_linear_cascade_exact_correction(kw):
+    p = build_problem(ProblemConfig(name="stokes_square", bc="lower", nx=4, **kw))
+    rng = np.random.default_rng(0)
+    batch = p.sample_batch(jax.random.PRNGKey(1), 3)
+    truth = p.ground_truth(batch)
+    u0 = jnp.asarray(rng.standard_normal((3, p.d_out)) * 0.1, jnp.float32)
+    b2 = p.defect_batch64(batch, u0)
+    ustar = _uhat_truth(p, batch, truth)
+    estar = jnp.asarray(ustar - np.asarray(u0, np.float64), jnp.float32)
+    ops = p.device_ops
+    if p.bpx64 is not None:
+        ops = {**ops, "bpx_ubc": jnp.zeros_like(ops["bpx_ubc"])}
+    loss = float(p.loss(estar, b2, ops))
+    loss_bad = float(p.loss(estar * 1.02 + 0.01, b2, ops))
+    assert loss < 1e-4 * loss_bad, (kw, loss, loss_bad)
+
+
+@pytest.mark.parametrize("equil", [False, True])
+def test_ns_cascade_exact_correction(equil):
+    p = build_problem(ProblemConfig(name="steady_ns", bc="lower", nx=4,
+                                    ns_truth="group", equilibrate=equil))
+    # sample_converged filters non-converged Newton draws (a raw draw at this
+    # size can stall at rel ~1e-2, which is a truth error, not a loss error)
+    batch, us = p.sample_converged(jax.random.PRNGKey(2), 2)
+    rng = np.random.default_rng(3)
+    u0 = jnp.asarray(rng.standard_normal((2, p.d_out)) * 0.1, jnp.float32)
+    b2 = p.defect_batch64(batch, u0)
+    ustar = us / p.equil64[1] if equil else us
+    estar = jnp.asarray(ustar - np.asarray(u0, np.float64), jnp.float32)
+    loss = float(p.loss(estar, b2))
+    loss_bad = float(p.loss(estar * 1.02 + 0.01, b2))
+    assert loss < 1e-4 * loss_bad, (equil, loss, loss_bad)
+
+
+@pytest.mark.parametrize("kw", [{}, {"equilibrate": True}, {"precond_iters": 200}])
+def test_timedep_cascade_exact_correction(kw):
+    p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,
+                                    forcing="five", seq_len=4, **kw))
+    batch = p.sample_batch(jax.random.PRNGKey(4), 2)
+    traj = p.ground_truth(batch, n_steps=4)[:, 1:]  # (B, T, ng)
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(rng.standard_normal(traj.shape) * 0.1, jnp.float32)
+    b2 = p.defect_batch64(batch, u0)
+    if p.precond64 is not None:
+        ustar = np.linalg.solve(
+            p.precond64, traj.reshape(-1, p.ng).T
+        ).T.reshape(traj.shape)
+    elif p.equil64 is not None:
+        ustar = traj / p.equil64[1]
+    else:
+        ustar = traj
+    estar = jnp.asarray(ustar - np.asarray(u0, np.float64), jnp.float32)
+    loss = float(p.loss(estar, b2))
+    loss_bad = float(p.loss(estar * 1.02 + 0.01, b2))
+    assert loss < 1e-4 * loss_bad, (kw, loss, loss_bad)
