@@ -146,6 +146,7 @@ def cmd_train(args) -> int:
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
         ema_decay=args.ema_decay,
+        cascade_epochs=args.cascade_epochs,
         model_kwargs=json.loads(args.model_kwargs),
     )
     if args.precond_file:
@@ -289,6 +290,10 @@ def main(argv=None) -> int:
     t.add_argument("--ema-decay", type=float, default=0.0,
                    help="Polyak/EMA parameter averaging for eval+checkpoints "
                         "(0 = off; 0.999 is a good full-batch default)")
+    t.add_argument("--cascade-epochs", type=int, default=0,
+                   help="residual cascade: train a fresh net on the f64 "
+                        "defect of the stage-1 predictions for N epochs "
+                        "(label-free boosting; 0 = off)")
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")

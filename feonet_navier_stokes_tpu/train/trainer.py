@@ -95,6 +95,11 @@ class TrainConfig:
     # residual training oscillates around the minimum at constant lr, and
     # the iterate average sits measurably closer to it than the last iterate.
     ema_decay: float = 0.0
+    # Residual cascade: after the main run, train a FRESH same-architecture
+    # network for this many epochs on the f64-recomputed DEFECT of the
+    # frozen stage-1 predictions (Problem.defect_batch64) — label-free
+    # boosting; the combined prediction is unmap(pred0 + e). 0 = off.
+    cascade_epochs: int = 0
 
 
 @dataclasses.dataclass
@@ -455,7 +460,84 @@ class Trainer:
                 jax.profiler.stop_trace()
             if log_f:
                 log_f.close()
+        if c.cascade_epochs > 0:
+            self.cascade(train_ds, val_ds, c.cascade_epochs, verbose=verbose)
         return self.history
+
+    # ------------------------------------------------------------------
+    # residual cascade (stage-2 defect training)
+    # ------------------------------------------------------------------
+
+    def _raw_forward(self, batch) -> Array:
+        """Stage-1 outputs in TRAINING coordinates (before unmap), using the
+        EMA params when enabled."""
+        x = self.problem.model_input(batch, self.config.model)
+        params = (
+            self.state.ema_params if self.use_ema else self.state.params
+        )
+        out, _ = self._apply(params, self.state.batch_stats, x, train=False)
+        return out
+
+    def cascade(
+        self,
+        train_ds: Dataset,
+        val_ds: Dataset | None,
+        epochs: int,
+        verbose: bool = True,
+    ) -> dict[str, float]:
+        """Train a fresh network on the f64 defect of this trainer's frozen
+        predictions (label-free boosting) and append the COMBINED validation
+        metrics to ``self.history``. The stage-2 trainer is kept as
+        ``self.stage2`` (e.g. for checkpointing)."""
+        import dataclasses as _dc
+
+        p = self.problem
+        pred0_tr = self._raw_forward(train_ds.batch)
+        train2 = Dataset(p.defect_batch64(train_ds.batch, pred0_tr), None)
+        tc2 = _dc.replace(
+            self.config, epochs=epochs, cascade_epochs=0,
+            seed=self.config.seed + 1, loss_mode="residual",
+            ckpt_dir=None,
+            log_path=(self.config.log_path + ".cascade"
+                      if self.config.log_path else None),
+        )
+        self.stage2 = Trainer(p, tc2)
+        if "bpx_ubc" in self.stage2.ops:
+            # the BC lift belongs to stage 1; the correction is lift-free
+            self.stage2.ops = {
+                **self.stage2.ops,
+                "bpx_ubc": jnp.zeros_like(self.stage2.ops["bpx_ubc"]),
+            }
+        if verbose:
+            print(f"cascade: stage-2 defect training ({epochs} epochs)")
+        self.stage2.fit(train2, None, verbose=verbose)
+
+        rec: dict[str, float] = {"cascade": 1.0}
+        if val_ds is not None and val_ds.truth is not None:
+            pred0_val = self._raw_forward(val_ds.batch)
+            val2_batch = p.defect_batch64(val_ds.batch, pred0_val)
+            e_val = self.stage2._raw_forward(val2_batch)
+            combined = p.unmap(pred0_val + e_val, self.ops)
+            truth = val_ds.truth
+            if p.config.name.startswith("timedep"):
+                ref = truth[:, 1 : combined.shape[1] + 1].astype(combined.dtype)
+                rec["traj_rel_l2"] = float(trajectory_rel_l2(combined, ref))
+                errs = component_errors(
+                    combined.reshape(-1, combined.shape[-1]),
+                    np.asarray(ref).reshape(-1, ref.shape[-1]),
+                    p.n2,
+                )
+            else:
+                errs = component_errors(
+                    combined, truth.astype(combined.dtype), p.n2
+                )
+            rec.update({k: float(v) for k, v in errs.items()})
+            if verbose:
+                print("cascade combined: "
+                      + " ".join(f"{k}={v:.4e}" for k, v in rec.items()
+                                 if k != "cascade"))
+        self.history.append(rec)
+        return rec
 
     @staticmethod
     def latest_checkpoint(ckpt_dir: str) -> str | None:
