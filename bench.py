@@ -224,6 +224,15 @@ def main() -> int:
                                   dtype_name="bfloat16")
     out["bf16_steps_per_sec"] = round(measure_steps_per_sec(tr16, b16, 20), 3)
 
+    # conv-heavy shipped config (the hole-512 featurization: resol 50): here
+    # the convs dominate and bf16 should win — the crossover evidence the
+    # R=20 headline can't show (cast overhead > conv savings there)
+    for name, dt in (("f32_resol50_steps_per_sec", "float32"),
+                     ("bf16_resol50_steps_per_sec", "bfloat16")):
+        _, tr50, b50 = _build_trainer(nx=16, batch=1000, resol=50,
+                                      dtype_name=dt)
+        out[name] = round(measure_steps_per_sec(tr50, b50, 15), 3)
+
     # host assembly throughput (BASELINE.json tracked metric)
     mdof_s, op_ms = measure_assembly()
     out["assembly_mdof_per_s"] = round(mdof_s, 2)
