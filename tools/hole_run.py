@@ -78,6 +78,8 @@ def cmd_train(args) -> int:
 
     z = np.load(args.art)
     interp = str(z["interp"]) if "interp" in z.files else "cubic"
+    if args.interp:  # A/B override: same data, different featurization
+        interp = args.interp
     resol_in = int(z["resol_in"]) if "resol_in" in z.files else 50
     p = _problem(interp=interp, resol_in=resol_in)
     p.set_precond(z["precond"])
@@ -148,6 +150,9 @@ def main() -> int:
     t = sub.add_parser("train")
     t.add_argument("--art", default=ART_DEFAULT)
     t.add_argument("--model", default="Net2D")
+    t.add_argument("--interp", default=None, choices=["cubic", "linear"],
+                   help="override the artifact's featurization method "
+                        "(A/B: same GRF data, different interpolation)")
     t.add_argument("--model-kwargs", default='{"filters": 32}')
     t.add_argument("--epochs", type=int, default=80000)
     t.add_argument("--lr", type=float, default=1e-3)
