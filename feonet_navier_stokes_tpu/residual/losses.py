@@ -233,7 +233,7 @@ def rollout_residual(
     prev_pred = pred_seq[:, :-1, :]
     if precond is not None:
         prev_pred = _mm(prev_pred, precond.T)
-    elif equil_dc is not None:
+    if equil_dc is not None:  # composes with precond: u = dc ∘ (M û)
         prev_pred = prev_pred * equil_dc
     prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     lhs = _apply_op(pred_seq, sys_op)
@@ -278,7 +278,7 @@ def rollout_ns_residual(
     prev_pred = pred_seq[:, :-1, :]
     if precond is not None:
         prev_pred = _mm(prev_pred, precond.T)
-    elif equil_dc is not None:
+    if equil_dc is not None:  # composes with precond: u = dc ∘ (M û)
         prev_pred = prev_pred * equil_dc
     prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
     conv = _masked_conv(prev, B1, B2, n2, conv_row_mask)

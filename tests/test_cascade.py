@@ -15,22 +15,24 @@ from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
 
 
 def _uhat_truth(p, batch, truth64):
-    """Map physical truth into the training coordinates."""
-    if p.precond64 is not None:
-        return np.linalg.solve(p.precond64, truth64.T).T
-    if p.equil64 is not None:
-        return truth64 / p.equil64[1]
+    """Map physical truth into the training coordinates (u = dc ∘ (M û))."""
     if p.bpx64 is not None:
         G = p.bpx64.G.toarray()
         w, *_ = np.linalg.lstsq(G, (truth64 - p.bpx64.u_bc).T, rcond=None)
         return w.T
-    return truth64
+    u = truth64
+    if p.equil64 is not None:
+        u = u / p.equil64[1]
+    if p.precond64 is not None:
+        u = np.linalg.solve(p.precond64, u.T).T
+    return u
 
 
 @pytest.mark.parametrize("kw", [
     {},
     {"equilibrate": True},
     {"precond_iters": 300},
+    {"equilibrate": True, "precond_iters": 300},
     {"bpx_levels": 2},
 ])
 def test_linear_cascade_exact_correction(kw):
@@ -67,7 +69,10 @@ def test_ns_cascade_exact_correction(equil):
     assert loss < 1e-4 * loss_bad, (equil, loss, loss_bad)
 
 
-@pytest.mark.parametrize("kw", [{}, {"equilibrate": True}, {"precond_iters": 200}])
+@pytest.mark.parametrize("kw", [
+    {}, {"equilibrate": True}, {"precond_iters": 200},
+    {"equilibrate": True, "precond_iters": 200},
+])
 def test_timedep_cascade_exact_correction(kw):
     p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,
                                     forcing="five", seq_len=4, **kw))
@@ -76,14 +81,8 @@ def test_timedep_cascade_exact_correction(kw):
     rng = np.random.default_rng(5)
     u0 = jnp.asarray(rng.standard_normal(traj.shape) * 0.1, jnp.float32)
     b2 = p.defect_batch64(batch, u0)
-    if p.precond64 is not None:
-        ustar = np.linalg.solve(
-            p.precond64, traj.reshape(-1, p.ng).T
-        ).T.reshape(traj.shape)
-    elif p.equil64 is not None:
-        ustar = traj / p.equil64[1]
-    else:
-        ustar = traj
+    flat = traj.reshape(-1, p.ng)
+    ustar = _uhat_truth(p, batch, flat).reshape(traj.shape)
     estar = jnp.asarray(ustar - np.asarray(u0, np.float64), jnp.float32)
     loss = float(p.loss(estar, b2))
     loss_bad = float(p.loss(estar * 1.02 + 0.01, b2))
