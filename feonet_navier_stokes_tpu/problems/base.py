@@ -655,6 +655,7 @@ class Problem:
                 pred, ops["op_train"], batch["load"], ops["B1"], ops["B2"],
                 self.n2, conv_row_mask=ops.get("conv_row_mask"),
                 equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
+                precond=ops.get("precond"),
             )
         if c.name == "timedep_stokes":
             # cascade stage 2 carries a per-step defect RHS in 'load' and a
@@ -730,7 +731,11 @@ class Problem:
         if c.name == "steady_ns":
             mask64 = np.asarray(self.bc.mask, dtype=np.float64)
             dr_dc = self.equil64
-            u0 = pred64 * dr_dc[1] if dr_dc is not None else pred64
+            u0 = pred64
+            if dr_dc is not None:
+                if self.precond64 is not None:
+                    u0 = u0 @ self.precond64.T
+                u0 = u0 * dr_dc[1]
             n2 = self.n2
             B1u0 = matT(self.B1_64, u0)
             B2u0 = matT(self.B2_64, u0)

@@ -114,20 +114,27 @@ def nonlinear_residual(
     reference_sign_bug: bool = False,
     equil_dc: Array | None = None,
     equil_dr: Array | None = None,
+    precond: Array | None = None,
 ) -> Array:
     """Steady Navier-Stokes loss: || op u + conv(u) - f ||^2.
 
     conv(u) is the diag-masked quadratic term (reference:
     FEONet_steady_Navier-Stokes/train_FEONet.py:301-332). When training with
-    SPAI, pass op = A @ M; conv is evaluated on the RAW prediction (matching
-    the reference, which applies the preconditioner on the linear term only).
+    plain SPAI, pass op = A @ M; conv is evaluated on the RAW prediction
+    (matching the reference, which applies the preconditioner on the linear
+    term only — its NS runs disable SPAI, so the quirk never bites).
 
-    Ruiz-equilibrated variant (equil_dc/equil_dr set): op = dr A dc, rhs =
-    dr*f, predictions are û with u = dc∘û — the quadratic term is evaluated
-    on the PHYSICAL u and its rows re-scaled by dr so the whole residual is
+    Ruiz-equilibrated variant (equil_dc/equil_dr set): op = dr A dc [M],
+    rhs = dr*f, predictions are û with u = dc∘(M û) — the quadratic term is
+    evaluated on the PHYSICAL u (pass ``precond`` for the Ruiz∘SPAI
+    composition) and its rows re-scaled by dr so the whole residual is
     dr∘(A u + conv(u) - f).
     """
-    u_phys = pred * equil_dc if equil_dc is not None else pred
+    if equil_dc is not None:
+        u_phys = _mm(pred, precond.T) if precond is not None else pred
+        u_phys = u_phys * equil_dc
+    else:
+        u_phys = pred
     conv = _masked_conv(u_phys, B1, B2, n2, conv_row_mask)
     if equil_dr is not None:
         conv = conv * equil_dr
