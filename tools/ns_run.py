@@ -1,0 +1,126 @@
+"""Steady Navier-Stokes at the reference scale (ne=450, nx=15) — the
+conditioned-residual / hybrid recipe runs (VERDICT round-1 item 2).
+
+Reuses the Newton ground truths from a stretch_run --data-cache npz (the
+expensive part: ~1200 sparse-LU Newton solves) but rebuilds the LOAD vectors
+for the problem's own conditioning (an equilibrated system trains on dr*f —
+a cached raw load would silently be the wrong RHS).
+
+  python tools/ns_run.py --data-cache runs/r2/ns450_data.npz \
+      --equilibrate --precond 3000 --loss-mode hybrid --epochs 40000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(__doc__)
+    ap.add_argument("--data-cache", required=True)
+    ap.add_argument("--nx", type=int, default=15)
+    ap.add_argument("--bc", default="lower")
+    ap.add_argument("--equilibrate", action="store_true")
+    ap.add_argument("--precond", type=int, default=0)
+    ap.add_argument("--loss-mode", default="residual",
+                    choices=["residual", "supervised", "hybrid"])
+    ap.add_argument("--residual-weight", type=float, default=1e-4)
+    ap.add_argument("--model", default="Net2D")
+    ap.add_argument("--model-kwargs", default='{"filters": 16}')
+    ap.add_argument("--epochs", type=int, default=40000)
+    ap.add_argument("--cascade-epochs", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="cosine")
+    ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--ema-decay", type=float, default=0.999)
+    ap.add_argument("--eval-every", type=int, default=2000)
+    ap.add_argument("--init-from", default=None)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--log", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig, Dataset
+
+    t0 = time.time()
+    p = build_problem(ProblemConfig(
+        name="steady_ns", bc=args.bc, nx=args.nx,
+        equilibrate=args.equilibrate, precond_iters=args.precond,
+    ))
+    print(f"ng={p.ng} equilibrate={args.equilibrate} "
+          f"precond={args.precond} [{time.time()-t0:.0f}s]", flush=True)
+
+    z = np.load(args.data_cache, allow_pickle=True)
+    f32 = jnp.float32
+
+    def _ds(prefix, need_truth):
+        coeff_f = np.asarray(z[f"{prefix}_batch_coeff_f"])
+        batch = {"coeff_f": jnp.asarray(coeff_f, f32)}
+        # rebuild the load in THIS problem's training equation space
+        batch["load"] = jnp.asarray(
+            p._train_load64({"coeff_f": coeff_f}), f32
+        )
+        tkey = f"{prefix}_truth"
+        truth = z[tkey] if tkey in z.files else None
+        if need_truth and truth is None:
+            raise SystemExit(f"cache has no {tkey} (regenerate with hybrid)")
+        return Dataset(batch, None if truth is None else jnp.asarray(truth, f32))
+
+    train_ds = _ds("train", args.loss_mode != "residual")
+    val_ds = _ds("val", True)
+    print(f"datasets: train={train_ds.n} val={val_ds.n} "
+          f"[{time.time()-t0:.0f}s]", flush=True)
+
+    tc = TrainConfig(
+        model=args.model,
+        model_kwargs=json.loads(args.model_kwargs),
+        lr=args.lr, lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
+        ema_decay=args.ema_decay, epochs=args.epochs,
+        cascade_epochs=args.cascade_epochs,
+        num_train=train_ds.n, num_val=val_ds.n,
+        eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,
+        log_path=args.log, loss_mode=args.loss_mode,
+        residual_weight=args.residual_weight,
+    )
+    trainer = Trainer(p, tc)
+    print(f"model={args.model} params={trainer.n_params:,} "
+          f"devices={jax.devices()}", flush=True)
+    if args.init_from:
+        trainer.load_checkpoint(args.init_from)
+        print(f"warm-started from {args.init_from}", flush=True)
+    t0 = time.time()
+    hist = trainer.fit(train_ds, val_ds, verbose=True)
+    final = {k: v for k, v in hist[-1].items() if k != "time_per_epoch"}
+    result = {
+        "problem": f"steady_ns nx={args.nx} (ng={p.ng}) {args.bc} sincos, "
+                   f"{args.model}"
+                   + (" + Ruiz" if args.equilibrate else "")
+                   + (f"∘SPAI({args.precond})" if args.precond else ""),
+        "loss_mode": args.loss_mode,
+        "epochs": args.epochs,
+        "cascade_epochs": args.cascade_epochs,
+        "lr": f"{args.lr} {args.lr_schedule}",
+        "wall_s": round(time.time() - t0, 1),
+        "final": final,
+    }
+    print(json.dumps(result), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
