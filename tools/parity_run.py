@@ -81,7 +81,7 @@ def cmd_train(args) -> int:
         # the reference's trained configuration: base_ch=32, latent_ch=64,
         # head FILTERS=32, BLOCKS=0, ks=5 (train_FEONet.py:39-43,158-167)
         model_kwargs={
-            "base_ch": 32, "latent_ch": 64, "head_filters": 32,
+            "base_ch": 32, "latent_ch": 64, "head_filters": args.head_filters,
             "head_blocks": 0, "head_kernel_size": 5,
         },
         lr=args.lr,
@@ -204,6 +204,7 @@ def main() -> int:
     t.add_argument("--lr-schedule", default="constant")
     t.add_argument("--ema-decay", type=float, default=0.0)
     t.add_argument("--grad-clip", type=float, default=0.0)
+    t.add_argument("--head-filters", type=int, default=32)
     t.add_argument("--refine-epochs", type=int, default=0,
                    help="residual-cascade stage 2: train a fresh net on the "
                         "f64-recomputed stage-1 defect system for this many "
