@@ -73,7 +73,13 @@ def cmd_train(args) -> int:
 
     from feonet_navier_stokes_tpu.train import Trainer, TrainConfig, Dataset
 
-    z = np.load(args.art)
+    z = dict(np.load(args.art))
+    if args.num_train:
+        for k in ("train_coeff_f", "train_load", "train_truth"):
+            z[k] = z[k][: args.num_train]
+    if args.num_val:
+        for k in ("val_coeff_f", "val_load", "val_truth"):
+            z[k] = z[k][: args.num_val]
     p = _problem(precond_iters=0)
     p.set_precond(z["precond"])
     tc = TrainConfig(
@@ -205,6 +211,9 @@ def main() -> int:
     t.add_argument("--ema-decay", type=float, default=0.0)
     t.add_argument("--grad-clip", type=float, default=0.0)
     t.add_argument("--head-filters", type=int, default=32)
+    t.add_argument("--num-train", type=int, default=0,
+                   help="slice the artifact train split (0 = all)")
+    t.add_argument("--num-val", type=int, default=0)
     t.add_argument("--refine-epochs", type=int, default=0,
                    help="residual-cascade stage 2: train a fresh net on the "
                         "f64-recomputed stage-1 defect system for this many "
