@@ -147,6 +147,7 @@ def cmd_train(args) -> int:
         residual_weight=args.residual_weight,
         ema_decay=args.ema_decay,
         cascade_epochs=args.cascade_epochs,
+        resample_every=args.resample_every,
         model_kwargs=json.loads(args.model_kwargs),
     )
     if args.precond_file:
@@ -294,6 +295,9 @@ def main(argv=None) -> int:
                    help="residual cascade: train a fresh net on the f64 "
                         "defect of the stage-1 predictions for N epochs "
                         "(label-free boosting; 0 = off)")
+    t.add_argument("--resample-every", type=int, default=0,
+                   help="label-free infinite data: redraw the train batch "
+                        "every N epochs (residual mode only; 0 = off)")
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")

@@ -100,6 +100,13 @@ class TrainConfig:
     # frozen stage-1 predictions (Problem.defect_batch64) — label-free
     # boosting; the combined prediction is unmap(pred0 + e). 0 = off.
     cascade_epochs: int = 0
+    # Label-free infinite-data regime: redraw the ENTIRE training batch every
+    # N epochs (fresh forcing/IC samples + host-f64 loads). The residual
+    # objective needs no labels, so the effective training set is unbounded —
+    # this removes the fixed-set generalization gap that a reference-style
+    # precomputed dataset has (its FEniCS loads are baked offline). Residual
+    # loss mode only. 0 = off.
+    resample_every: int = 0
 
 
 @dataclasses.dataclass
@@ -377,6 +384,12 @@ class Trainer:
                 train_ds.truth,
             )
         n = train_ds.n
+        if c.resample_every > 0 and c.loss_mode != "residual":
+            raise ValueError(
+                "resample_every needs the label-free residual objective "
+                "(supervised/hybrid truth would require fresh solves)"
+            )
+        resample_key = jax.random.PRNGKey(c.seed + 12345)
         bs = c.batch_size if c.batch_size and c.batch_size < n else None
         if bs is None:
             # full batch (reference default): shard once, reuse every epoch
@@ -399,6 +412,13 @@ class Trainer:
                 if c.profile_dir and not tracing and epoch == 2:
                     jax.profiler.start_trace(c.profile_dir)
                     tracing = True
+                if (c.resample_every > 0 and bs is None
+                        and (epoch - 1) % c.resample_every == 0
+                        and epoch > 1):
+                    resample_key, sub = jax.random.split(resample_key)
+                    batch = self.problem.sample_batch(sub, n)
+                    if self.mesh is not None:
+                        batch = shard_batch(batch, self.mesh)
                 rng, step_rng = jax.random.split(rng)
                 if bs is None:
                     self.state, loss = self._train_step(

@@ -326,3 +326,30 @@ def test_fast_accuracy_pin():
     hist = tr.fit(train_ds, val_ds, verbose=False)
     assert hist[-1]["coeff"] < 0.14, hist[-1]
     assert hist[-1]["p"] < 0.06, hist[-1]
+
+
+def test_resample_every_infinite_data(small_square):
+    """Label-free infinite-data regime: the train batch is redrawn every N
+    epochs (fresh loads, host f64) with no jit recompile; supervised mode
+    rejects it (fresh truth would need solves)."""
+    tc = TrainConfig(
+        model="FCNN", lr=2e-3, epochs=120, num_train=16, num_val=8,
+        eval_every=60, data_parallel=False, resample_every=20,
+        model_kwargs={"hidden_dims": (16,)},
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+    tc_bad = TrainConfig(
+        model="FCNN", epochs=5, num_train=8, num_val=4,
+        loss_mode="supervised", resample_every=10, data_parallel=False,
+        model_kwargs={"hidden_dims": (8,)},
+    )
+    tr2 = Trainer(small_square, tc_bad)
+    ds2, _ = tr2.make_datasets()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="resample_every"):
+        tr2.fit(ds2, None, verbose=False)

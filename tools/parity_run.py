@@ -94,6 +94,7 @@ def cmd_train(args) -> int:
         lr_schedule=args.lr_schedule,
         ema_decay=args.ema_decay,
         grad_clip=args.grad_clip,
+        resample_every=args.resample_every,
         epochs=args.epochs,
         num_train=z["train_coeff_f"].shape[0],
         num_val=z["val_coeff_f"].shape[0],
@@ -214,6 +215,8 @@ def main() -> int:
     t.add_argument("--num-train", type=int, default=0,
                    help="slice the artifact train split (0 = all)")
     t.add_argument("--num-val", type=int, default=0)
+    t.add_argument("--resample-every", type=int, default=0,
+                   help="redraw the (label-free) train batch every N epochs")
     t.add_argument("--refine-epochs", type=int, default=0,
                    help="residual-cascade stage 2: train a fresh net on the "
                         "f64-recomputed stage-1 defect system for this many "
