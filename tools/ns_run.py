@@ -37,6 +37,7 @@ def main() -> int:
     ap.add_argument("--model-kwargs", default='{"filters": 16}')
     ap.add_argument("--epochs", type=int, default=40000)
     ap.add_argument("--cascade-epochs", type=int, default=0)
+    ap.add_argument("--resample-every", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
     ap.add_argument("--grad-clip", type=float, default=1.0)
@@ -89,6 +90,7 @@ def main() -> int:
         lr=args.lr, lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
         ema_decay=args.ema_decay, epochs=args.epochs,
         cascade_epochs=args.cascade_epochs,
+        resample_every=args.resample_every,
         num_train=train_ds.n, num_val=val_ds.n,
         eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,
         log_path=args.log, loss_mode=args.loss_mode,
