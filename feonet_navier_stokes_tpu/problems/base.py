@@ -669,6 +669,18 @@ class Problem:
                 equil_dc=ops.get("equil_dc"),
             )
         if c.name == "timedep_ns":
+            if "u0_prev" in batch:  # cascade stage 2 (exact expansion)
+                from ..residual.losses import rollout_ns_defect_residual
+
+                return rollout_ns_defect_residual(
+                    pred, ops["S"], ops["op_train"], batch["load"], c.dt,
+                    ops["B1"], ops["B2"], self.n2, batch["u0_prev"],
+                    batch["B1u0p"], batch["B2u0p"],
+                    conv_row_mask=ops.get("conv_row_mask"),
+                    precond=ops.get("precond"),
+                    equil_dc=ops.get("equil_dc"),
+                    equil_dr=ops.get("equil_dr"),
+                )
             from ..residual import rollout_ns_residual
 
             return rollout_ns_residual(
@@ -708,8 +720,6 @@ class Problem:
             return X @ A.T
 
         if c.name in _TIMEDEP:
-            if c.name == "timedep_ns":
-                raise NotImplementedError("cascade for timedep_ns")
             dr_dc = self.equil64
             u_phys = pred64
             if self.precond64 is not None:
@@ -720,6 +730,28 @@ class Problem:
             prev = np.concatenate([u_init[:, None, :], u_phys[:, :-1]], axis=1)
             r0 = (matT(self.sys64, u_phys) - matT(self.S64, prev)
                   - c.dt * self.load_const64)
+            if c.name == "timedep_ns":
+                # semi-implicit convection on the lagged state enters the
+                # defect and the stage-2 cross terms
+                n2 = self.n2
+                mask64 = np.asarray(self.bc.mask, dtype=np.float64)
+                B1p = matT(self.B1_64, prev)
+                B2p = matT(self.B2_64, prev)
+                z = np.zeros_like(prev[..., 2 * n2 :])
+                d1 = np.concatenate(
+                    [prev[..., :n2], prev[..., :n2], z], axis=-1
+                )
+                d2 = np.concatenate(
+                    [prev[..., n2 : 2 * n2], prev[..., n2 : 2 * n2], z],
+                    axis=-1,
+                )
+                conv0 = d1 * B1p + d2 * B2p
+                if c.ns_bc_rows == "masked":
+                    conv0 = conv0 * (1.0 - mask64)
+                r0 = r0 + c.dt * conv0
+                out["u0_prev"] = jnp.asarray(prev, dtype=dtype)
+                out["B1u0p"] = jnp.asarray(B1p, dtype=dtype)
+                out["B2u0p"] = jnp.asarray(B2p, dtype=dtype)
             if dr_dc is not None:
                 r0 = r0 * dr_dc[0]
             # loss computes lhs - (S e_prev + dt*load): load = -r0/dt

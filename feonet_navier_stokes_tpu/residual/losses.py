@@ -255,6 +255,60 @@ def rollout_residual(
     return jnp.mean(per_t)
 
 
+def rollout_ns_defect_residual(
+    pred_seq: Array,
+    S: Array,
+    sys_op: Array,
+    load: Array,
+    dt: float,
+    B1: Array,
+    B2: Array,
+    n2: int,
+    u0_prev: Array,
+    B1u0p: Array,
+    B2u0p: Array,
+    conv_row_mask: Array | None = None,
+    precond: Array | None = None,
+    equil_dc: Array | None = None,
+    equil_dr: Array | None = None,
+) -> Array:
+    """Cascade stage-2 semi-implicit NS rollout loss: the residual expanded
+    about a frozen stage-1 trajectory. With ep the LAGGED physical
+    correction (0 at t=0) and u0p the lagged physical stage-1 state
+    (per-sample constants u0_prev, B1u0p = B1 u0p, B2u0p precomputed in f64
+    by Problem.defect_batch64):
+
+        sys e_t - S ep + dt[d(u0p)∘(B ep) + d(ep)∘(B u0p) + conv(ep)] = -r0_t
+
+    load carries -r0/dt (per-step, (B, T, ng)), matching rollout_residual's
+    cascade convention; the expansion is exact (group-FEM is quadratic).
+    """
+    prev_pred = pred_seq[:, :-1, :]
+    if precond is not None:
+        prev_pred = _mm(prev_pred, precond.T)
+    if equil_dc is not None:
+        prev_pred = prev_pred * equil_dc
+    ep = jnp.concatenate(
+        [jnp.zeros_like(prev_pred[:, :1]), prev_pred], axis=1
+    )
+    d1_0, d2_0 = _diag_pair(u0_prev, n2)
+    d1_e, d2_e = _diag_pair(ep, n2)
+    B1e = _apply_op(ep, B1)
+    B2e = _apply_op(ep, B2)
+    cross = (
+        d1_0 * B1e + d1_e * B1u0p + d1_e * B1e
+        + d2_0 * B2e + d2_e * B2u0p + d2_e * B2e
+    )
+    if conv_row_mask is not None:
+        cross = cross * (1.0 - conv_row_mask)
+    if equil_dr is not None:
+        cross = cross * equil_dr
+    lhs = _apply_op(pred_seq, sys_op)
+    rhs = _apply_op(ep, S) + dt * (load - cross)
+    per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
+    return jnp.mean(per_t)
+
+
 def rollout_ns_residual(
     pred_seq: Array,
     S: Array,

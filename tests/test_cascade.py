@@ -87,3 +87,22 @@ def test_timedep_cascade_exact_correction(kw):
     loss = float(p.loss(estar, b2))
     loss_bad = float(p.loss(estar * 1.02 + 0.01, b2))
     assert loss < 1e-4 * loss_bad, (kw, loss, loss_bad)
+
+
+@pytest.mark.parametrize("kw", [{}, {"equilibrate": True}])
+def test_timedep_ns_cascade_exact_correction(kw):
+    """Semi-implicit NS rollout cascade: the exact correction zeroes the
+    stage-2 loss (lagged-convection quadratic expansion is exact)."""
+    p = build_problem(ProblemConfig(name="timedep_ns", bc="lower", nx=4,
+                                    forcing="five", seq_len=4, **kw))
+    batch = p.sample_batch(jax.random.PRNGKey(6), 2)
+    traj = p.ground_truth(batch, n_steps=4)[:, 1:]
+    rng = np.random.default_rng(7)
+    u0 = jnp.asarray(rng.standard_normal(traj.shape) * 0.1, jnp.float32)
+    b2 = p.defect_batch64(batch, u0)
+    flat = traj.reshape(-1, p.ng)
+    ustar = _uhat_truth(p, batch, flat).reshape(traj.shape)
+    estar = jnp.asarray(ustar - np.asarray(u0, np.float64), jnp.float32)
+    loss = float(p.loss(estar, b2))
+    loss_bad = float(p.loss(estar * 1.02 + 0.01, b2))
+    assert loss < 1e-4 * loss_bad, (kw, loss, loss_bad)
