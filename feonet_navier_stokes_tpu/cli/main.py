@@ -209,7 +209,9 @@ def cmd_eval(args) -> int:
     from ..train import Trainer, TrainConfig
 
     problem = _build_problem(args)
-    tc = TrainConfig(model=args.model, num_val=args.num_val)
+    tc = TrainConfig(model=args.model, num_val=args.num_val,
+                     model_kwargs=json.loads(args.model_kwargs),
+                     ema_decay=0.999 if args.ema else 0.0)
     trainer = Trainer(problem, tc)
     trainer.load_checkpoint(args.ckpt)
     _, val_ds = trainer.make_datasets()
@@ -315,6 +317,10 @@ def main(argv=None) -> int:
     e = sub.add_parser("eval", help="evaluate a checkpoint")
     _add_problem_flags(e)
     e.add_argument("--model", default="UNetWithHead")
+    e.add_argument("--model-kwargs", default="{}",
+                   help="must match the trained architecture")
+    e.add_argument("--ema", action="store_true",
+                   help="evaluate the checkpoint's EMA params")
     e.add_argument("--ckpt", required=True)
     e.add_argument("--num-val", type=int, default=1000)
     e.add_argument("--plot", default=None, metavar="PNG",
