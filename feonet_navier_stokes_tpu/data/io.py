@@ -77,7 +77,13 @@ def export_reference_npz(
         if "coeff_f" in batch:
             payload[f"{prefix}_coeff_fs"] = np.asarray(batch["coeff_f"])
         if "load" in batch:
-            payload[f"{prefix}_load_vectors"] = np.asarray(batch["load"])
+            # the reference layout holds RAW BC-applied loads; an
+            # equilibrated problem's in-memory batch load is dr-scaled,
+            # so recompute from the sample parameters (exact, host f64)
+            if problem.equil64 is not None:
+                payload[f"{prefix}_load_vectors"] = problem.load64(batch)
+            else:
+                payload[f"{prefix}_load_vectors"] = np.asarray(batch["load"])
         if "grf_ux" in batch:
             payload[f"{prefix}_forcing_term"] = np.concatenate(
                 [np.asarray(batch["grf_ux"]), np.asarray(batch["grf_uy"])], axis=1

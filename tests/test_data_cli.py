@@ -91,3 +91,24 @@ def test_graft_entry_multichip():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_export_equilibrated_stores_raw_loads(tmp_path):
+    """The reference-layout npz must hold RAW loads even when the problem's
+    training batch is Ruiz-scaled."""
+    import jax
+    import numpy as np
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.data import export_reference_npz
+
+    p = build_problem(ProblemConfig(name="stokes_square", bc="lower", nx=4,
+                                    equilibrate=True))
+    b, t = p.sample_converged(jax.random.PRNGKey(0), 3)
+    path = str(tmp_path / "x.npz")
+    export_reference_npz(path, p, b, t, b, t)
+    z = np.load(path, allow_pickle=True)
+    raw = p.load64(b)
+    np.testing.assert_allclose(z["train_load_vectors"], raw, rtol=1e-12)
+    # and the raw load differs from the scaled training batch load
+    assert np.abs(np.asarray(b["load"], np.float64) - raw).max() > 1e-6
