@@ -60,6 +60,7 @@ def main() -> int:
                     help="BPX-congruence residual conditioning (linalg/"
                          "bpx.py): nested mesh levels; the label-free path "
                          "at this scale (0 = off)")
+    ap.add_argument("--ema-decay", type=float, default=0.0)
     ap.add_argument("--resample-every", type=int, default=0,
                     help="label-free infinite data: redraw the train batch "
                          "every N epochs")
@@ -114,6 +115,7 @@ def main() -> int:
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
         resample_every=args.resample_every,
+        ema_decay=args.ema_decay,
         # residual training is label-free: SuperLU ground truth only for the
         # val split; supervised/hybrid also need train-split labels
         truth_for_train=args.loss_mode != "residual",
