@@ -91,6 +91,7 @@ def cmd_train(args) -> int:
         lr_schedule=args.lr_schedule,
         ema_decay=args.ema_decay,
         grad_clip=args.grad_clip,
+        resample_every=args.resample_every,
         epochs=args.epochs,
         num_train=int(z["train_truth"].shape[0]),
         num_val=int(z["val_truth"].shape[0]),
@@ -158,6 +159,7 @@ def main() -> int:
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--lr-schedule", default="cosine")
     t.add_argument("--ema-decay", type=float, default=0.0)
+    t.add_argument("--resample-every", type=int, default=0)
     t.add_argument("--grad-clip", type=float, default=0.0)
     t.add_argument("--eval-every", type=int, default=2000)
     t.add_argument("--ckpt-dir", default=None)
