@@ -156,12 +156,30 @@ def check_bsr_compiled(nx: int = 16) -> float:
     return float(np.abs(y - y_ref).max() / scale)
 
 
-def measure_breakdown(problem, trainer, batch_d, n: int = 30) -> dict:
-    """Where does the step time go? Times separately-jitted stages:
-    featurize+forward, loss given activations, full grad, optimizer-only —
-    the MFU diagnosis VERDICT item 4 asks for."""
+def _stage_cost(fn, *args) -> dict:
+    """XLA cost analysis (HLO flops + bytes accessed) for one jitted stage.
+    HLO counts an f32 matmul's FLOPs once regardless of precision passes —
+    see docs/performance.md for the pass-weighted interpretation."""
     import jax
-    import jax.numpy as jnp
+
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return {
+            "gflops": round(float(cost.get("flops", 0.0)) / 1e9, 2),
+            "gbytes": round(float(cost.get("bytes accessed", 0.0)) / 1e9, 3),
+        }
+    except Exception:
+        return {}
+
+
+def measure_breakdown(problem, trainer, batch_d, n: int = 30) -> dict:
+    """Where does the step time go? Times separately-jitted stages
+    (featurize+forward, loss given activations, full grad, optimizer-only)
+    and attaches each stage's XLA flop/byte counts — the MFU diagnosis
+    VERDICT item 4 asks for (full analysis: docs/performance.md)."""
+    import jax
 
     rng = jax.random.PRNGKey(1)
     state = trainer.state
@@ -176,9 +194,12 @@ def measure_breakdown(problem, trainer, batch_d, n: int = 30) -> dict:
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / n * 1e3  # ms
 
-    fwd = jax.jit(lambda p, b: trainer._apply(
-        p, state.batch_stats, problem.model_input(b, trainer.config.model),
-        train=False)[0])
+    def fwd_fn(p, b):
+        return trainer._apply(
+            p, state.batch_stats, problem.model_input(b, trainer.config.model),
+            train=False)[0]
+
+    fwd = jax.jit(fwd_fn)
     t_fwd = timed(fwd, state.params, batch_d)
     pred = fwd(state.params, batch_d)
     loss_only = jax.jit(lambda o, b, op: problem.loss(o, b, op))
@@ -195,13 +216,24 @@ def measure_breakdown(problem, trainer, batch_d, n: int = 30) -> dict:
         return trainer._train_step_impl(st, b, r, op)
 
     t_full = timed(jax.jit(full), state, batch_d, rng, ops)
-    return {
+    out = {
         "fwd_ms": round(t_fwd, 3),
         "loss_ms": round(t_loss, 3),
         "grad_ms": round(t_grad, 3),
         "full_step_ms": round(t_full, 3),
         "optimizer_ms": round(t_full - t_grad, 3),
     }
+    for name, fn, args in (
+        ("fwd", fwd_fn, (state.params, batch_d)),
+        ("loss", lambda o, b, op: problem.loss(o, b, op), (pred, batch_d, ops)),
+        ("grad", grad_fn, (state.params, batch_d, rng, ops)),
+        ("full", full, (state, batch_d, rng, ops)),
+    ):
+        for k, v in _stage_cost(fn, *args).items():
+            out[f"{name}_{k}"] = v
+    nparams = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    out["nparams_m"] = round(nparams / 1e6, 2)
+    return out
 
 
 def main() -> int:
@@ -256,6 +288,21 @@ def main() -> int:
     print(json.dumps(out))
     if breakdown:
         bd = measure_breakdown(problem, trainer, batch_d)
+        # residual-precision A/B (speed half): HIGH = 3 MXU passes vs
+        # HIGHEST's 6 on the residual matmuls. Accuracy half: the
+        # FEONET_RESIDUAL_PRECISION=high training A/B in runs/r2.
+        from feonet_navier_stokes_tpu.residual.losses import (
+            set_residual_precision,
+        )
+
+        set_residual_precision("high")
+        try:
+            _, tr_h, b_h = _build_trainer(nx=16, batch=1000, resol=20)
+            bd["high_prec_steps_per_sec"] = round(
+                measure_steps_per_sec(tr_h, b_h, 20), 3
+            )
+        finally:
+            set_residual_precision("highest")
         print(json.dumps({"metric": "step_breakdown_512dof", **bd}))
     return 0
 

@@ -21,6 +21,8 @@ that, with ``reference_sign_bug=True`` available for bit-parity experiments.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -29,9 +31,26 @@ Array = jax.Array
 # Residual matmuls run at FULL float32 precision: on TPU the default matmul
 # precision decomposes f32 operands to bfloat16 passes, which floors the
 # achievable Galerkin residual (and therefore rel-L2) around 1e-3 — the
-# reference's cuBLAS runs true fp32. These (B, ng) @ (ng, ng) products are
-# tiny next to the model convs, so HIGHEST costs nothing measurable.
-_PREC = jax.lax.Precision.HIGHEST
+# reference's cuBLAS runs true fp32. HIGHEST is the 6-pass compensated
+# scheme; HIGH (3 passes) halves the MXU work of the residual stage (see
+# docs/performance.md) and is selectable via FEONET_RESIDUAL_PRECISION=high
+# or set_residual_precision() BEFORE the train step is first traced.
+_PREC_BY_NAME = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+_PREC = _PREC_BY_NAME[
+    os.environ.get("FEONET_RESIDUAL_PRECISION", "highest").lower()
+]
+
+
+def set_residual_precision(name: str) -> None:
+    """Set the matmul precision for all residual losses ('default' | 'high'
+    | 'highest'). Precision is baked in at trace time — call before the
+    Trainer jits its step."""
+    global _PREC
+    _PREC = _PREC_BY_NAME[name.lower()]
 
 
 def _mm(x: Array, op_t: Array) -> Array:
