@@ -148,6 +148,7 @@ def cmd_train(args) -> int:
         ema_decay=args.ema_decay,
         cascade_epochs=args.cascade_epochs,
         resample_every=args.resample_every,
+        conv_ramp_epochs=args.conv_ramp,
         model_kwargs=json.loads(args.model_kwargs),
     )
     if args.precond_file:
@@ -300,6 +301,9 @@ def main(argv=None) -> int:
     t.add_argument("--resample-every", type=int, default=0,
                    help="label-free infinite data: redraw the train batch "
                         "every N epochs (residual mode only; 0 = off)")
+    t.add_argument("--conv-ramp", type=int, default=0,
+                   help="NS convection continuation: ramp the quadratic "
+                        "term's weight 0->1 over N epochs (0 = off)")
     t.add_argument("--no-train-truth", action="store_true",
                    help="skip reference solves for the train split (residual "
                         "training is label-free; val metrics unaffected)")

@@ -635,7 +635,7 @@ class Problem:
             u = self.unmap(pred, ops)
             r = _apply_op(u, ops["op_train"]) - batch["load"]
             if c.name == "steady_ns":
-                r = r + _masked_conv(
+                r = r + ops.get("conv_gamma", 1.0) * _masked_conv(
                     u, ops["B1"], ops["B2"], self.n2,
                     ops.get("conv_row_mask"),
                 )
@@ -656,6 +656,7 @@ class Problem:
                 self.n2, conv_row_mask=ops.get("conv_row_mask"),
                 equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
                 precond=ops.get("precond"),
+                conv_scale=ops.get("conv_gamma", 1.0),
             )
         if c.name == "timedep_stokes":
             # cascade stage 2 carries a per-step defect RHS in 'load' and a
@@ -689,6 +690,7 @@ class Problem:
                 conv_row_mask=ops.get("conv_row_mask"),
                 precond=ops.get("precond"),
                 equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
+                conv_scale=ops.get("conv_gamma", 1.0),
             )
         return linear_residual(pred, ops["op_train"], batch["load"])
 

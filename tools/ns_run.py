@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=40000)
     ap.add_argument("--cascade-epochs", type=int, default=0)
     ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--conv-ramp", type=int, default=0,
+                    help="convection continuation: ramp gamma 0->1 over N epochs")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
     ap.add_argument("--grad-clip", type=float, default=1.0)
@@ -91,6 +93,7 @@ def main() -> int:
         ema_decay=args.ema_decay, epochs=args.epochs,
         cascade_epochs=args.cascade_epochs,
         resample_every=args.resample_every,
+        conv_ramp_epochs=args.conv_ramp,
         num_train=train_ds.n, num_val=val_ds.n,
         eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,
         log_path=args.log, loss_mode=args.loss_mode,
