@@ -33,6 +33,10 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dt", type=float, default=0.01)
     p.add_argument("--seq-len", type=int, default=10)
     p.add_argument("--precond", type=int, default=0, help="SPAI iterations")
+    p.add_argument("--precond-mode", default="spai", choices=["spai", "exact"],
+                   help="dense right preconditioner: the reference's SPAI "
+                        "iteration, or the exact f64 inverse (cond==1; "
+                        "activates even with --precond 0)")
     p.add_argument("--mu", type=float, default=None)
     p.add_argument("--ns-truth", default="weak", choices=["weak", "group"],
                    help="steady-NS ground-truth system: true trilinear form "
@@ -74,6 +78,7 @@ def _build_problem(args):
         dt=args.dt,
         seq_len=args.seq_len,
         precond_iters=args.precond,
+        precond_mode=args.precond_mode,
         mu=args.mu,
         ns_truth=args.ns_truth,
         ns_truth_mu_factor=args.ns_truth_mu_factor,

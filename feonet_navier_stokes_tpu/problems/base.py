@@ -113,6 +113,18 @@ class ProblemConfig:
     dt: float = 0.01
     seq_len: int = 10  # rollout length for timedep training
     precond_iters: int = 0  # SPAI iterations (0 = off)
+    # How the dense right preconditioner M (op_train = base @ M) is built:
+    # 'spai'  — the reference's Frobenius steepest-descent iteration
+    #           (train_FEONet.py:104-143; the parity path). Its convergence
+    #           is spectrum-dependent: ~1.0 on the Stokes/hole operators but
+    #           it STALLS on the equilibrated steady-NS operator (measured
+    #           cond 193 after 2000 iters at nx=4, vs raw 344).
+    # 'exact' — host-f64 dense inverse of the (equilibrated) training
+    #           system: cond(op_train) == 1 + O(eps) by construction.
+    #           O(ng^3) one-time host setup, viable at dense scales
+    #           (ng <= ~5k). Activates the preconditioner even when
+    #           precond_iters == 0. No reference counterpart.
+    precond_mode: str = "spai"  # 'spai' | 'exact'
     ns_bc_rows: str = "masked"  # 'masked' | 'script'
     ns_truth: str = "weak"  # 'weak' (true trilinear form) | 'group'
     # The reference's NS ground truth assembles viscosity 0.5*mu while the
@@ -192,9 +204,10 @@ class Problem:
 
         # --- operators: host numpy float64, device copies at working dtype ---
         self.is_bsr = c.op_format == "bsr"
-        if self.is_bsr and c.precond_iters > 0:
-            raise ValueError("op_format='bsr' requires precond_iters=0 "
-                             "(a SPAI approximate inverse is dense)")
+        if self.is_bsr and (c.precond_iters > 0 or c.precond_mode == "exact"):
+            raise ValueError("op_format='bsr' requires precond_iters=0 and "
+                             "precond_mode='spai' (an approximate/exact "
+                             "inverse is dense)")
         fmt = "csr" if self.is_bsr else "dense"
         if c.name == "stokes_hole":
             A_raw = assemble_stokes(
@@ -260,10 +273,14 @@ class Problem:
         self.bpx64 = None
         self.bpx_G = None
         self.bpx_ubc = None
+        if c.precond_mode not in ("spai", "exact"):
+            raise ValueError(f"precond_mode must be 'spai' or 'exact', "
+                             f"got {c.precond_mode!r}")
+        want_precond = c.precond_iters > 0 or c.precond_mode == "exact"
         if c.bpx_levels > 0:
-            if c.precond_iters > 0 or c.equilibrate:
+            if want_precond or c.equilibrate:
                 raise ValueError("bpx_levels is exclusive of precond_iters/"
-                                 "equilibrate")
+                                 "precond_mode='exact'/equilibrate")
             if c.name == "stokes_hole":
                 # unstructured domain: vector-block smoothed-aggregation
                 # hierarchy (linalg/amg.py) in place of nested meshes —
@@ -324,18 +341,21 @@ class Problem:
                 self.equil_dr = jnp.asarray(dr, dtype=dtype)
             self.precond64 = None
             self.precond = None
-            if c.precond_iters > 0:
+            if want_precond:
                 # Ruiz∘SPAI composition: SPAI on the RAW system stalls at
                 # large cond (3.5e5 for (S+dt·A) at ne=200), but on the
                 # equilibrated system it converges fast — measured cond
                 # 90 -> 1.0085 in 2000 iters, 1.0000 in 5000. Training
                 # system (dr A dc) M, solution u = dc ∘ (M û).
+                # precond_mode='exact' skips the iteration entirely:
+                # M = (dr A dc)^-1 exactly (the steady-NS operator defeats
+                # the SPAI iteration, where this gives cond 1).
                 if self.is_bsr:
                     raise ValueError(
                         "op_format='bsr' requires precond_iters=0 "
-                        "(a SPAI approximate inverse is dense)"
+                        "(a dense approximate/exact inverse)"
                     )
-                self.set_precond(spai(base_eq, c.precond_iters))
+                self.set_precond(self._make_precond(base_eq))
             else:
                 self.op_train = (
                     self._bsr_pair(base_eq) if self.is_bsr
@@ -356,8 +376,8 @@ class Problem:
                 self.load_const_train = jnp.asarray(
                     dr * self.load_const64, dtype=dtype
                 )
-        elif c.precond_iters > 0:
-            self.set_precond(spai(base64, c.precond_iters))
+        elif want_precond:
+            self.set_precond(self._make_precond(base64))
         else:
             self.precond64 = None
             self.precond = None
@@ -382,6 +402,15 @@ class Problem:
         if c.name in _TIMEDEP:
             # P2 scalar mass for IC projection (FEniCS `project`)
             self.M2_64 = assemble_scalar_block(space, "mass", fmt=fmt)
+
+    def _make_precond(self, base64) -> np.ndarray:
+        """Dense right preconditioner for the training objective: the
+        reference's SPAI iteration (precond_mode='spai') or the exact f64
+        inverse (precond_mode='exact', cond(base @ M) == 1 + O(eps))."""
+        if self.config.precond_mode == "exact":
+            base = base64.toarray() if hasattr(base64, "toarray") else base64
+            return np.linalg.inv(np.asarray(base, dtype=np.float64))
+        return spai(base64, self.config.precond_iters)
 
     @staticmethod
     def _bsr_pair(A_csr):

@@ -33,6 +33,7 @@ def _uhat_truth(p, batch, truth64):
     {"equilibrate": True},
     {"precond_iters": 300},
     {"equilibrate": True, "precond_iters": 300},
+    {"equilibrate": True, "precond_mode": "exact"},
     {"bpx_levels": 2},
 ])
 def test_linear_cascade_exact_correction(kw):
@@ -72,6 +73,7 @@ def test_ns_cascade_exact_correction(equil):
 @pytest.mark.parametrize("kw", [
     {}, {"equilibrate": True}, {"precond_iters": 200},
     {"equilibrate": True, "precond_iters": 200},
+    {"equilibrate": True, "precond_mode": "exact"},
 ])
 def test_timedep_cascade_exact_correction(kw):
     p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,

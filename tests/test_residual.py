@@ -216,6 +216,46 @@ def test_nonlinear_residual_equilibrated_zero_at_newton():
     assert float(loss) < 1e-12 * float(loss_bad)
 
 
+def test_exact_precond_ns_zero_at_newton_and_cond():
+    """precond_mode='exact' (Ruiz∘exact-inverse): cond(op_train) == 1+O(eps)
+    — the SPAI iteration stalls on the steady-NS operator (cond 193 after
+    2000 iters at nx=4) which is why the label-free NS objective needed this
+    mode — and the composed nonlinear residual still vanishes exactly at the
+    group-FEM Newton solution."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.linalg import newton_solve_ns
+
+    p = build_problem(
+        ProblemConfig(name="steady_ns", bc="lower", nx=4, ns_truth="group",
+                      equilibrate=True, precond_mode="exact")
+    )
+    cond = np.linalg.cond(np.asarray(p._base_eq64 @ p.precond64))
+    assert cond < 1 + 1e-8, cond
+
+    dr, dc = p.equil64
+    b = p.sample_batch(jax.random.PRNGKey(2), 1)
+    load64 = p.load64(b)[0]
+    mask = jnp.asarray(p.bc.mask)
+    u, rel, _ = newton_solve_ns(
+        p.A64, p.B1_64, p.B2_64, load64, p.n2, conv_row_mask=mask
+    )
+    assert float(rel) < 1e-10
+    uhat = np.linalg.solve(p.precond64, np.asarray(u, np.float64) / dc)
+    ops = p.device_ops
+    rhs = jnp.asarray(dr * load64, jnp.float32)[None]
+
+    def loss_at(x):
+        return float(nonlinear_residual(
+            jnp.asarray(x, jnp.float32)[None], ops["op_train"], rhs,
+            ops["B1"], ops["B2"], p.n2,
+            conv_row_mask=ops.get("conv_row_mask"),
+            equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
+            precond=ops.get("precond"),
+        ))
+
+    assert loss_at(uhat) < 1e-6 * loss_at(uhat * 1.01)
+
+
 def test_conv_scale_continuation():
     """conv_scale=0 reduces the NS residual to the linear Stokes residual;
     the trainer ramps it via TrainConfig.conv_ramp_epochs (the training-

@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--equilibrate", action="store_true")
     ap.add_argument("--precond", type=int, default=0)
+    ap.add_argument("--precond-mode", default="spai", choices=["spai", "exact"])
     ap.add_argument("--loss-mode", default="residual",
                     choices=["residual", "supervised", "hybrid"])
     ap.add_argument("--residual-weight", type=float, default=1e-4)
@@ -61,6 +62,7 @@ def main() -> int:
     p = build_problem(ProblemConfig(
         name="steady_ns", bc=args.bc, nx=args.nx,
         equilibrate=args.equilibrate, precond_iters=args.precond,
+        precond_mode=args.precond_mode,
     ))
     print(f"ng={p.ng} equilibrate={args.equilibrate} "
           f"precond={args.precond} [{time.time()-t0:.0f}s]", flush=True)
@@ -112,7 +114,8 @@ def main() -> int:
         "problem": f"steady_ns nx={args.nx} (ng={p.ng}) {args.bc} sincos, "
                    f"{args.model}"
                    + (" + Ruiz" if args.equilibrate else "")
-                   + (f"∘SPAI({args.precond})" if args.precond else ""),
+                   + ("∘exact-inv" if args.precond_mode == "exact"
+                      else f"∘SPAI({args.precond})" if args.precond else ""),
         "loss_mode": args.loss_mode,
         "epochs": args.epochs,
         "cascade_epochs": args.cascade_epochs,
