@@ -41,6 +41,16 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ns-truth", default="weak", choices=["weak", "group"],
                    help="steady-NS ground-truth system: true trilinear form "
                         "(FEniCS-like) or the group-FEM training system")
+    p.add_argument("--ns-branch", default="stable",
+                   choices=["stable", "newton"],
+                   help="which root of the (multi-root) steady-NS system is "
+                        "the ground truth: the dynamically stable one "
+                        "(batched Picard+polish; default) or the reference's "
+                        "damped-Newton branch (parity)")
+    p.add_argument("--stokes-shift", action="store_true",
+                   help="steady_ns + dense preconditioner: the network "
+                        "predicts only the convection correction; the "
+                        "Stokes solution is added analytically")
     p.add_argument("--ns-truth-mu-factor", type=float, default=1.0,
                    help="viscosity factor for the NS ground-truth solve; 0.5 "
                         "reproduces the reference's half-viscosity truth "
@@ -81,6 +91,8 @@ def _build_problem(args):
         precond_mode=args.precond_mode,
         mu=args.mu,
         ns_truth=args.ns_truth,
+        ns_branch=args.ns_branch,
+        stokes_shift=args.stokes_shift,
         ns_truth_mu_factor=args.ns_truth_mu_factor,
         op_format=args.op_format,
         interp=args.interp,
@@ -249,7 +261,28 @@ def cmd_bench(args) -> int:
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def _apply_platform_env() -> None:
+    """Make JAX_PLATFORM_NAME actually work under the axon TPU plugin.
+
+    Under axon, both the JAX_PLATFORMS and JAX_PLATFORM_NAME env vars are
+    ignored (the plugin re-registers the TPU); only
+    ``jax.config.update('jax_platforms', ...)`` before first backend use
+    takes effect. Honoring the documented env var here lets CPU smoke runs
+    coexist with a live TPU job (the axon tunnel admits ONE client; a second
+    blocks silently)."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORM_NAME") or os.environ.get(
+        "FEONET_PLATFORM"
+    )
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _apply_platform_env()
     ap = argparse.ArgumentParser("feonet", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -3,7 +3,9 @@
 from .spai import spai, spai_sparse, equilibrate, condition_number
 from .bpx import bpx_factor, p2_interpolation, BPXFactor
 from .solvers import solve_dense, solve_dense_batched, implicit_euler_rollout
-from .newton import masked_convection, ns_residual, newton_solve_ns
+from .newton import (masked_convection, ns_residual, newton_solve_ns,
+                     stable_solve_ns, stable_solve_ns_sparse,
+                     stable_solve_weak)
 
 __all__ = [
     "spai",
@@ -19,4 +21,7 @@ __all__ = [
     "masked_convection",
     "ns_residual",
     "newton_solve_ns",
+    "stable_solve_ns",
+    "stable_solve_ns_sparse",
+    "stable_solve_weak",
 ]

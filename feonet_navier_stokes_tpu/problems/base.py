@@ -127,6 +127,31 @@ class ProblemConfig:
     precond_mode: str = "spai"  # 'spai' | 'exact'
     ns_bc_rows: str = "masked"  # 'masked' | 'script'
     ns_truth: str = "weak"  # 'weak' (true trilinear form) | 'group'
+    # Which ROOT of the nonlinear steady-NS system is "the" solution. At the
+    # reference's forcing amplitudes a large minority of sincos draws
+    # (~3/8 measured at nx=15) have NO dynamically reachable steady state:
+    # the from-rest trajectory passes near a saddle and escapes to blowup at
+    # every dt, while damped Newton — the reference's FEniCS truth
+    # generator, assemble_fenics.py:204-217 — still returns an (unreachable)
+    # root, making the load->root map discontinuous near the fold. When the
+    # dynamics converges, Newton finds the SAME root (dist <=1.4e-9).
+    # 'stable' (default): the dynamically reachable root via batched relaxed
+    #   Picard + IMEX fallback + in-basin Newton polish (linalg/newton.py
+    #   stable_solve_*); unreachable draws report honest residuals and are
+    #   RESAMPLED by sample_converged, so the learned operator is a smooth
+    #   single-valued branch. Also ~10x faster per 1000-sample set (one LU
+    #   shared across the batch).
+    # 'newton': the reference's branch (per-sample damped Newton, keeps
+    #   unreachable roots) — parity mode only.
+    ns_branch: str = "stable"
+    # steady_ns only, requires a dense preconditioner: the network output is
+    # a CORRECTION to the Stokes solution, added in TRAINING coordinates
+    # inside the jit graph. With the Ruiz∘exact-inverse parameterization the
+    # Stokes solution in training coordinates is exactly the training rhs
+    # (û_st = M^{-1}(A^{-1}f / dc) = dr∘f), so the shift is one add and the
+    # linear 90% of the solution map is exact linear algebra — the network
+    # only learns the O(|conv|/|A|) nonlinear correction.
+    stokes_shift: bool = False
     # The reference's NS ground truth assembles viscosity 0.5*mu while the
     # training operator uses mu (assemble_fenics.py:192 vs :88 — an upstream
     # half-viscosity bug, likely a dropped grad-transpose). 1.0 = consistent.
@@ -276,6 +301,19 @@ class Problem:
         if c.precond_mode not in ("spai", "exact"):
             raise ValueError(f"precond_mode must be 'spai' or 'exact', "
                              f"got {c.precond_mode!r}")
+        if c.ns_branch not in ("stable", "newton"):
+            raise ValueError(f"ns_branch must be 'stable' or 'newton', "
+                             f"got {c.ns_branch!r}")
+        if c.stokes_shift and not (
+            c.name == "steady_ns"
+            and (c.precond_iters > 0 or c.precond_mode == "exact")
+        ):
+            raise ValueError(
+                "stokes_shift requires steady_ns with a dense preconditioner "
+                "(precond_iters>0 or precond_mode='exact'): the shift is the "
+                "Stokes solution expressed in the preconditioned training "
+                "coordinates"
+            )
         want_precond = c.precond_iters > 0 or c.precond_mode == "exact"
         if c.bpx_levels > 0:
             if want_precond or c.equilibrate:
@@ -841,6 +879,18 @@ class Problem:
         out["load"] = jnp.asarray(r0, dtype=dtype)
         return out
 
+    def shift_output(self, out: Array, batch: dict[str, Array]) -> Array:
+        """stokes_shift: add the Stokes solution in TRAINING coordinates to
+        the network output (which then represents only the convection
+        correction). For Ruiz∘exact-inverse the Stokes solution in training
+        coordinates is exactly the training rhs: û_st = M^{-1}(A^{-1}f/dc)
+        = (dr A dc)(A^{-1}f/dc) = dr∘f = batch['load']; for SPAI-M it is
+        approximate, which only moves a small residue into the learned
+        correction. No-op unless ProblemConfig.stokes_shift."""
+        if not self.config.stokes_shift:
+            return out
+        return out + batch["load"]
+
     def unmap(self, pred: Array, ops: dict | None = None) -> Array:
         """Map network output to solution coefficients: apply SPAI M, the
         equilibration column scale (u = dc * û), or the BPX congruence
@@ -902,8 +952,46 @@ class Problem:
     def _solve_ns_batch(
         self, load64: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Newton-solve a batch of NS loads; returns (u, rel_res, iters)."""
+        """Solve a batch of NS loads; returns (u, rel_res, iters).
+
+        ns_branch='stable' (default) → batched stable-branch solvers
+        (Picard + polish, one factorization for the whole batch);
+        ns_branch='newton' → the reference-parity per-sample damped-Newton
+        chains. See the ProblemConfig.ns_branch comment."""
         mask64 = np.asarray(self.bc.mask, dtype=np.float64)
+        if self.config.ns_branch == "stable":
+            loads = np.asarray(load64, dtype=np.float64)
+            # velocity mass for the IMEX pseudo-time fallback (assembled
+            # once, lazily — most batches converge in the Picard stage)
+            if not hasattr(self, "_S_stable64"):
+                self._S_stable64 = apply_bc_matrix(
+                    assemble_velocity_mass(
+                        self.space, fmt="csr" if self.is_bsr else "dense"
+                    ),
+                    self.bc.mask,
+                )
+            if self.is_bsr:
+                from ..linalg.newton import stable_solve_ns_sparse
+
+                us, rels, it = stable_solve_ns_sparse(
+                    self.A64, self.B1_64, self.B2_64, loads, self.n2,
+                    conv_row_mask=mask64, S=self._S_stable64,
+                )
+            elif self.config.ns_truth == "group":
+                from ..linalg.newton import stable_solve_ns
+
+                us, rels, it = stable_solve_ns(
+                    self.A64, self.B1_64, self.B2_64, loads, self.n2,
+                    conv_row_mask=mask64, S=self._S_stable64,
+                )
+            else:
+                from ..linalg.newton import stable_solve_weak
+
+                us, rels, it = stable_solve_weak(
+                    self.A_truth64, self._conv_fn, self._jac_fn, loads,
+                    mask64, S=self._S_stable64,
+                )
+            return us, rels, np.full(len(loads), it)
         if self.is_bsr:
             # sparse-LU Newton (50k-DoF stretch scale; dense J is 18 GB)
             from scipy.sparse import csc_matrix

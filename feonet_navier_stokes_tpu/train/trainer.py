@@ -157,6 +157,10 @@ class Trainer:
         )
         self.tx = build_optimizer(c.optimizer, schedule, grad_clip=c.grad_clip)
         self.is_lbfgs = c.optimizer.lower() == "lbfgs"
+        if problem.config.stokes_shift and c.cascade_epochs > 0:
+            # the stage-2 trainer would shift the defect net's output by the
+            # batch rhs a second time
+            raise ValueError("stokes_shift and cascade_epochs are exclusive")
 
         # --- init params from a 2-sample probe batch ---
         key = jax.random.PRNGKey(c.seed)
@@ -280,6 +284,7 @@ class Trainer:
         mode = self.config.loss_mode
         x = self.problem.model_input(batch, self.config.model)
         out, new_bs = self._apply(params, batch_stats, x, train=True, rng=rng)
+        out = self.problem.shift_output(out, batch)
         if mode == "residual":
             return self.problem.loss(out, batch, ops), new_bs
         # supervised/hybrid: compare in SOLUTION coordinates (after unmap)
@@ -345,6 +350,7 @@ class Trainer:
         x = self.problem.model_input(batch, self.config.model)
         params = state.ema_params if self.use_ema else state.params
         out, _ = self._apply(params, state.batch_stats, x, train=False)
+        out = self.problem.shift_output(out, batch)
         return self.problem.unmap(out, ops)
 
     # ------------------------------------------------------------------
@@ -511,7 +517,7 @@ class Trainer:
             self.state.ema_params if self.use_ema else self.state.params
         )
         out, _ = self._apply(params, self.state.batch_stats, x, train=False)
-        return out
+        return self.problem.shift_output(out, batch)
 
     def cascade(
         self,

@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--equilibrate", action="store_true")
     ap.add_argument("--precond", type=int, default=0)
     ap.add_argument("--precond-mode", default="spai", choices=["spai", "exact"])
+    ap.add_argument("--ns-branch", default="stable", choices=["stable", "newton"])
+    ap.add_argument("--stokes-shift", action="store_true",
+                    help="network predicts only the convection correction; "
+                         "the Stokes solution is added analytically in "
+                         "training coordinates")
     ap.add_argument("--loss-mode", default="residual",
                     choices=["residual", "supervised", "hybrid"])
     ap.add_argument("--residual-weight", type=float, default=1e-4)
@@ -62,7 +67,8 @@ def main() -> int:
     p = build_problem(ProblemConfig(
         name="steady_ns", bc=args.bc, nx=args.nx,
         equilibrate=args.equilibrate, precond_iters=args.precond,
-        precond_mode=args.precond_mode,
+        precond_mode=args.precond_mode, ns_branch=args.ns_branch,
+        stokes_shift=args.stokes_shift,
     ))
     print(f"ng={p.ng} equilibrate={args.equilibrate} "
           f"precond={args.precond} [{time.time()-t0:.0f}s]", flush=True)
