@@ -63,8 +63,9 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                         "precomputed linear map); linear = barycentric")
     p.add_argument("--bpx-levels", type=int, default=0,
                    help="BPX-congruence residual conditioning: number of "
-                        "nested mesh levels (0 = off; stokes_square/steady_ns "
-                        "— needs the structured nested-mesh hierarchy)")
+                        "levels (0 = off; stokes_square/steady_ns via the "
+                        "structured nested-mesh hierarchy, stokes_hole via "
+                        "the algebraic SA-AMG hierarchy)")
     p.add_argument("--equilibrate", action="store_true",
                    help="Ruiz-equilibrate the training system (sparsity-"
                         "preserving residual conditioning; all problems — "

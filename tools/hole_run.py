@@ -27,13 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART_DEFAULT = "artifacts/hole512_channel_grf.npz"
 
 
-def _problem(precond_iters: int = 0, interp: str = "cubic", resol_in: int = 50):
+def _problem(precond_iters: int = 0, interp: str = "cubic", resol_in: int = 50,
+             bpx_levels: int = 0):
     from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
 
     return build_problem(
         ProblemConfig(
             name="stokes_hole", bc="channel_flow", forcing="grf",
             resol_in=resol_in, precond_iters=precond_iters, interp=interp,
+            bpx_levels=bpx_levels,
         )
     )
 
@@ -47,18 +49,21 @@ def cmd_prepare(args) -> int:
 
     print(f"hole problem ne={p.space.mesh.num_cells} ng={p.ng} "
           f"[{time.time()-t0:.0f}s]", flush=True)
-    M = spai(p.A64, args.spai_iters)
-    cond = condition_number(p.A64 @ M)
-    print(f"SPAI({args.spai_iters}) cond: {cond:.7f} "
-          f"(reference 1.0000006 at its mesh) [{time.time()-t0:.0f}s]",
-          flush=True)
+    if args.spai_iters > 0:
+        M = spai(p.A64, args.spai_iters)
+        cond = condition_number(p.A64 @ M)
+        print(f"SPAI({args.spai_iters}) cond: {cond:.7f} "
+              f"(reference 1.0000006 at its mesh) [{time.time()-t0:.0f}s]",
+              flush=True)
+        extra = {"precond": np.asarray(M), "cond_after": cond}
+    else:  # datasets-only artifact (BPX training needs no dense SPAI)
+        extra = {}
     train_b, train_t = p.sample_converged(jax.random.PRNGKey(5), args.num)
     val_b, val_t = p.sample_converged(jax.random.PRNGKey(10), args.num)
     os.makedirs(os.path.dirname(args.art), exist_ok=True)
     np.savez(
         args.art,
-        precond=np.asarray(M),
-        cond_after=cond,
+        **extra,
         resol_in=args.resol_in,
         interp=args.interp,
         **{f"train_{k}": np.asarray(v) for k, v in train_b.items()},
@@ -81,8 +86,16 @@ def cmd_train(args) -> int:
     if args.interp:  # A/B override: same data, different featurization
         interp = args.interp
     resol_in = int(z["resol_in"]) if "resol_in" in z.files else 50
-    p = _problem(interp=interp, resol_in=resol_in)
-    p.set_precond(z["precond"])
+    # --bpx-levels swaps the dense SPAI for the algebraic (SA-AMG) BPX
+    # congruence — the stored BC-applied loads are exactly what the BPX loss
+    # consumes, so the artifact datasets are reused as-is.
+    p = _problem(interp=interp, resol_in=resol_in, bpx_levels=args.bpx_levels)
+    if args.bpx_levels == 0:
+        if "precond" not in z.files:
+            raise SystemExit(f"{args.art} is a datasets-only artifact "
+                             "(prepared with --spai-iters 0); train with "
+                             "--bpx-levels or re-prepare with SPAI")
+        p.set_precond(z["precond"])
     mkw = json.loads(args.model_kwargs)
     tc = TrainConfig(
         model=args.model,
@@ -100,8 +113,11 @@ def cmd_train(args) -> int:
         log_path=args.log,
     )
     trainer = Trainer(p, tc)
+    cond_note = ("algebraic-BPX congruence" if args.bpx_levels
+                 else f"cond(op)={float(z['cond_after']):.6f}"
+                 if "cond_after" in z.files else "no preconditioner")
     print(f"devices={jax.devices()} params={trainer.n_params:,} "
-          f"cond(op)={float(z['cond_after']):.6f}", flush=True)
+          f"{cond_note}", flush=True)
     f32 = jnp.float32
 
     def _ds(prefix):
@@ -118,8 +134,10 @@ def cmd_train(args) -> int:
     final = trainer.history[-1]
     result = {
         "problem": f"stokes_hole ne=512 (ng={p.ng}) channel_flow GRF, "
-                   f"{args.model} + SPAI(10000), interp={interp}, "
-                   f"resol_in={resol_in}",
+                   f"{args.model} + "
+                   + (f"BPX-SA({args.bpx_levels})" if args.bpx_levels
+                      else "SPAI(10000)")
+                   + f", interp={interp}, resol_in={resol_in}",
         "epochs": args.epochs,
         "wall_s": round(wall, 1),
         "model_kwargs": mkw,
@@ -154,6 +172,9 @@ def main() -> int:
     t.add_argument("--interp", default=None, choices=["cubic", "linear"],
                    help="override the artifact's featurization method "
                         "(A/B: same GRF data, different interpolation)")
+    t.add_argument("--bpx-levels", type=int, default=0,
+                   help="use the algebraic (SA-AMG) BPX congruence instead "
+                        "of the artifact's dense SPAI")
     t.add_argument("--model-kwargs", default='{"filters": 32}')
     t.add_argument("--epochs", type=int, default=80000)
     t.add_argument("--lr", type=float, default=1e-3)
