@@ -392,33 +392,46 @@ def _stable_picard(apply_A, solve_A, conv, loads, omega, max_iters, tol):
     Returns (best_u, best_rel_res, iters).
     """
     loads = np.asarray(loads, dtype=np.float64)
-    u = solve_A(loads)
-    f_norm = np.maximum(np.linalg.norm(loads, axis=1), 1e-30)
     n = loads.shape[0]
-    om = np.full(n, float(omega))
+    f_norm = np.maximum(np.linalg.norm(loads, axis=1), 1e-30)
+    u = solve_A(loads)
     best = u.copy()
     best_res = np.full(n, np.inf)
+    om = np.full(n, float(omega))
     stagnant = np.zeros(n, dtype=int)
+    # active set: converged samples (and samples whose relaxation has
+    # collapsed — a limit cycle Picard cannot escape; the IMEX fallback /
+    # polish stages own those) stop consuming batch work. At a 1000-sample
+    # batch the slowest draws otherwise gate full-batch matvecs + LU solves
+    # for hundreds of iterations after the bulk has converged.
+    act = np.arange(n)
     it = 0
     for it in range(1, max_iters + 1):
+        la = loads[act]
         c = conv(u)
-        res = np.linalg.norm(apply_A(u) + c - loads, axis=1) / f_norm
-        better = res < best_res * (1.0 - 1e-3)
-        stagnant = np.where(better, 0, stagnant + 1)
-        improved = res < best_res
-        best[improved] = u[improved]
-        best_res = np.minimum(res, best_res)
-        if float(best_res.max()) < tol:
+        res = np.linalg.norm(apply_A(u) + c - la, axis=1) / f_norm[act]
+        better = res < best_res[act] * (1.0 - 1e-3)
+        stagnant[act] = np.where(better, 0, stagnant[act] + 1)
+        improved = res < best_res[act]
+        best[act[improved]] = u[improved]
+        best_res[act] = np.minimum(res, best_res[act])
+        keep = (best_res[act] >= tol) & (om[act] >= omega * 2.0**-12)
+        if not keep.any():
             break
-        bad = (~np.isfinite(res)) | (res > 10.0 * np.maximum(best_res, tol)) \
-            | (stagnant >= 40)
-        bad &= best_res > tol
+        if not keep.all():
+            act = act[keep]
+            u = u[keep]
+            res = res[keep]
+            la = loads[act]
+            c = c[keep]
+        bad = (~np.isfinite(res)) | (res > 10.0 * np.maximum(best_res[act], tol)) \
+            | (stagnant[act] >= 40)
         if bad.any():
-            om[bad] *= 0.5
-            stagnant[bad] = 0
-            u = np.where(bad[:, None], best, u)
+            om[act[bad]] *= 0.5
+            stagnant[act[bad]] = 0
+            u = np.where(bad[:, None], best[act], u)
             c = conv(u)
-        u = (1.0 - om[:, None]) * u + om[:, None] * solve_A(loads - c)
+        u = (1.0 - om[act][:, None]) * u + om[act][:, None] * solve_A(la - c)
     return best, best_res, it
 
 
@@ -665,31 +678,40 @@ def _imex_march(solve_sys_of_dt, apply_A, apply_S, conv, loads, tol,
     ``Problem.sample_converged`` resamples it, exactly as the reference
     resamples FEniCS Newton failures (assemble_fenics.py:239-241).
     Stops at ``handoff``: the in-basin Newton polish finishes to tol."""
-    u = np.zeros_like(loads)  # from rest: the physical trajectory
+    n = loads.shape[0]
     f_norm = np.maximum(np.linalg.norm(loads, axis=1), 1e-30)
+    best = np.zeros_like(loads)
+    best_res = np.full(n, np.inf)
+    blowups = np.zeros(n, dtype=int)
+    # active set: rows that reached handoff, or were written off as
+    # rootless, stop marching (same outcomes as marching them to the end —
+    # see _stable_picard for why full-batch tails dominate the cost)
+    act = np.arange(n)
+    u = np.zeros_like(loads)  # from rest: the physical trajectory
     dt = float(dt0)
     solve = solve_sys_of_dt(dt)
-    best = u.copy()
-    best_res = np.full(loads.shape[0], np.inf)
-    blowups = np.zeros(loads.shape[0], dtype=int)
     for k in range(1, max_steps + 1):
-        u = solve(apply_S(u) + dt * (loads - conv(u)))
+        la = loads[act]
+        u = solve(apply_S(u) + dt * (la - conv(u)))
         if k % 50 == 0:
-            res = np.linalg.norm(apply_A(u) + conv(u) - loads, axis=1) / f_norm
+            res = np.linalg.norm(apply_A(u) + conv(u) - la, axis=1) / f_norm[act]
             bad = ~np.isfinite(res)
             if bad.any():
                 # blew up (explicit-convection CFL or rootless escape):
                 # halve dt, restart only the escapees from rest
                 dt *= 0.5
                 solve = solve_sys_of_dt(dt)
-                blowups += bad
+                blowups[act] += bad
                 u[bad] = 0.0
                 res[bad] = np.inf
-            improved = res < best_res
-            best[improved] = u[improved]
-            best_res = np.minimum(best_res, res)
-            live = blowups < max_blowups
-            if not live.any() or \
-                    float(best_res[live].max(initial=0.0)) < max(tol, handoff):
+            improved = res < best_res[act]
+            best[act[improved]] = u[improved]
+            best_res[act] = np.minimum(best_res[act], res)
+            keep = (best_res[act] >= max(tol, handoff)) \
+                & (blowups[act] < max_blowups)
+            if not keep.any():
                 break
+            if not keep.all():
+                act = act[keep]
+                u = u[keep]
     return best, best_res

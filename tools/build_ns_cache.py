@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--num-train", type=int, default=1000)
     ap.add_argument("--num-val", type=int, default=200)
     ap.add_argument("--ns-branch", default="stable")
+    ap.add_argument("--op-format", default="dense", choices=["dense", "bsr"],
+                    help="bsr at the 47k stretch scale: the batched "
+                         "stable-branch sparse solver amortizes ONE "
+                         "factorization over the whole batch (vs ~25 s per "
+                         "sample for per-sample sparse-LU Newton)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -42,7 +47,8 @@ def main() -> int:
 
     t0 = time.time()
     p = build_problem(ProblemConfig(
-        name="steady_ns", bc=args.bc, nx=args.nx, ns_branch=args.ns_branch))
+        name="steady_ns", bc=args.bc, nx=args.nx, ns_branch=args.ns_branch,
+        op_format=args.op_format))
     print(f"ng={p.ng} [{time.time()-t0:.0f}s]", flush=True)
 
     payload: dict[str, np.ndarray] = {}
