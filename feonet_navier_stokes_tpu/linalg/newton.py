@@ -656,7 +656,7 @@ def stable_solve_weak(
 
 
 def _imex_march(solve_sys_of_dt, apply_A, apply_S, conv, loads, tol,
-                dt0=0.02, max_steps=12000, handoff=1e-5, max_blowups=3):
+                dt0=0.02, max_steps=12000, handoff=3e-4, max_blowups=3):
     """Semi-implicit pseudo-time march to the stable steady state, batched.
 
     The fallback for samples relaxed Picard cannot reach: the Picard map's
@@ -677,7 +677,9 @@ def _imex_march(solve_sys_of_dt, apply_A, apply_S, conv, loads, tol,
     its best-along-trajectory residual is returned honestly and
     ``Problem.sample_converged`` resamples it, exactly as the reference
     resamples FEniCS Newton failures (assemble_fenics.py:239-241).
-    Stops at ``handoff``: the in-basin Newton polish finishes to tol."""
+    Stops at ``handoff``: the in-basin Newton polish (basin_tol 1e-3,
+    quadratic) finishes to tol — marching the linear-rate IMEX any deeper
+    than ~1e-4 just duplicates work the polish does in one iteration."""
     n = loads.shape[0]
     f_norm = np.maximum(np.linalg.norm(loads, axis=1), 1e-30)
     best = np.zeros_like(loads)

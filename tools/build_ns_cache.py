@@ -36,6 +36,11 @@ def main() -> int:
                          "stable-branch sparse solver amortizes ONE "
                          "factorization over the whole batch (vs ~25 s per "
                          "sample for per-sample sparse-LU Newton)")
+    ap.add_argument("--no-train-truth", action="store_true",
+                    help="skip the expensive train-split solves: the "
+                         "label-free (residual+resample) runs only evaluate "
+                         "against val truth — the train batch is resampled "
+                         "from epoch 1 anyway")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -52,19 +57,27 @@ def main() -> int:
     print(f"ng={p.ng} [{time.time()-t0:.0f}s]", flush=True)
 
     payload: dict[str, np.ndarray] = {}
-    for prefix, key, n in (("train", 5, args.num_train),
-                           ("val", 10, args.num_val)):
+    # val first: it is 5-6x cheaper than the train split and every consumer
+    # needs it — an interrupted build still leaves nothing usable, but the
+    # expensive part fails late rather than early
+    for prefix, key, n in (("val", 10, args.num_val),
+                           ("train", 5, args.num_train)):
         t1 = time.time()
-        batch, truth = p.sample_converged(jax.random.PRNGKey(key), n)
+        if prefix == "train" and args.no_train_truth:
+            batch = p.sample_batch(jax.random.PRNGKey(key), n)
+            truth = None
+        else:
+            batch, truth = p.sample_converged(jax.random.PRNGKey(key), n)
         for k, v in batch.items():
             payload[f"{prefix}_batch_{k}"] = np.asarray(v)
-        payload[f"{prefix}_truth"] = np.asarray(truth)
+        if truth is not None:
+            payload[f"{prefix}_truth"] = np.asarray(truth)
         print(f"{prefix}: {n} samples [{time.time()-t1:.0f}s]", flush=True)
 
     fprint = json.dumps({
         "problem": "steady_ns", "nx": args.nx, "bc": args.bc,
         "num_train": args.num_train, "num_val": args.num_val,
-        "train_truth": True,
+        "train_truth": not args.no_train_truth,
     }, sort_keys=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     np.savez(args.out, fingerprint=np.asarray(fprint), **payload)
