@@ -7,7 +7,13 @@ initial condition to (B, T, ng) coefficient trajectories.
 """
 
 from .steady import Net2D, NetA, Net3D, FCNN, UNetFeatureExtractor, UNetWithHead
-from .temporal import UNet2DTemporalRepeat, UNetTemporal, UNet1D, CoeffRNN
+from .temporal import (
+    UNet2DTemporalRepeat,
+    UNetTemporal,
+    UNet1D,
+    CoeffRNN,
+    LinearStep,
+)
 from .registry import build_model, MODEL_REGISTRY
 
 __all__ = [
@@ -21,6 +27,7 @@ __all__ = [
     "UNetTemporal",
     "UNet1D",
     "CoeffRNN",
+    "LinearStep",
     "build_model",
     "MODEL_REGISTRY",
 ]

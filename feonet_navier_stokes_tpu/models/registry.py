@@ -7,7 +7,13 @@ from __future__ import annotations
 from typing import Any
 
 from .steady import Net2D, NetA, Net3D, FCNN, UNetWithHead
-from .temporal import UNet2DTemporalRepeat, UNetTemporal, UNet1D, CoeffRNN
+from .temporal import (
+    UNet2DTemporalRepeat,
+    UNetTemporal,
+    UNet1D,
+    CoeffRNN,
+    LinearStep,
+)
 
 MODEL_REGISTRY: dict[str, Any] = {
     # steady (input: (B, R, R, 2) forcing grid; FCNN takes (B, 6) coeffs)
@@ -21,6 +27,10 @@ MODEL_REGISTRY: dict[str, Any] = {
     "UNetTemporal": UNetTemporal,
     "UNet1D": UNet1D,
     "RNN": CoeffRNN,
+    # TPU-first addition (no reference counterpart): the timedep problem is
+    # linear, so its solution operator is an affine recursion — learn it
+    # directly (models/temporal.py LinearStep docstring).
+    "LinearStep": LinearStep,
 }
 
 

@@ -159,6 +159,65 @@ class UNet1D(nn.Module):
         return jnp.swapaxes(out, 1, 2)  # (B, T, N)
 
 
+def _identity_init(key, shape, dtype=jnp.float32):
+    del key
+    return jnp.eye(shape[0], shape[1], dtype=dtype)
+
+
+class _AffineStep(nn.Module):
+    """One shared affine step: h_t = W h_{t-1} + b, emitted as-is."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        h = nn.Dense(
+            self.d_out,
+            kernel_init=_identity_init,
+            bias_init=nn.initializers.zeros,
+        )(carry)
+        return h, h
+
+
+class LinearStep(nn.Module):
+    """Learned affine one-step propagator rolled out under ``nn.scan``.
+
+    The time-dependent Stokes problem is LINEAR: the implicit-Euler update is
+    u_t = P u_{t-1} + c with a constant P = (S+dt·A)^{-1}S and
+    c = (S+dt·A)^{-1}·dt·f (reference create_data.py:75-91 does exactly this
+    rollout with the true matrices). The solution operator the other temporal
+    models approximate with RNNs/U-Nets is therefore an affine recursion —
+    this model IS that class of functions: an affine input map u0 -> h0
+    followed by T applications of one shared affine step. The label-free
+    rollout residual drives (W, b) toward the exact discrete propagator, so
+    accuracy is limited by optimization, not capacity. Both maps initialize
+    at identity/zero: for small dt the true P is near identity, and identity
+    keeps the T-step product well-conditioned at init.
+    """
+
+    d_out: int
+    seq_len: int
+
+    @nn.compact
+    def __call__(self, u0: Array, train: bool = False) -> Array:
+        u0 = u0.astype(jnp.float32)
+        ident = u0.shape[-1] == self.d_out
+        h0 = nn.Dense(
+            self.d_out,
+            kernel_init=_identity_init if ident else dense_inits(u0)["kernel_init"],
+            bias_init=nn.initializers.zeros,
+        )(u0)
+        Step = nn.scan(
+            _AffineStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.seq_len,
+            out_axes=1,
+        )
+        _, ys = Step(self.d_out)(h0, None)
+        return ys  # (B, T, d_out)
+
+
 class _ARStep(nn.Module):
     """One autoregressive step: (rnn_carry, prev_vec) -> emit next vec."""
 

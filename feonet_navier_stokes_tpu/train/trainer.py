@@ -148,7 +148,9 @@ class Trainer:
         pc = problem.config
 
         kwargs = dict(c.model_kwargs)
-        if pc.name.startswith("timedep") and c.model in ("UNet2D", "UNetTemporal", "UNet1D", "RNN"):
+        if pc.name.startswith("timedep") and c.model in (
+            "UNet2D", "UNetTemporal", "UNet1D", "RNN", "LinearStep",
+        ):
             kwargs.setdefault("seq_len", pc.seq_len)
         self.model = build_model(c.model, d_out=problem.d_out, **kwargs)
 
