@@ -6,7 +6,15 @@ featurization to (B, ng) mixed-FE coefficients; temporal models map an
 initial condition to (B, T, ng) coefficient trajectories.
 """
 
-from .steady import Net2D, NetA, Net3D, FCNN, UNetFeatureExtractor, UNetWithHead
+from .steady import (
+    Net2D,
+    NetA,
+    Net3D,
+    FCNN,
+    UNetFeatureExtractor,
+    UNetWithHead,
+    LinearMap,
+)
 from .temporal import (
     UNet2DTemporalRepeat,
     UNetTemporal,
@@ -23,6 +31,7 @@ __all__ = [
     "FCNN",
     "UNetFeatureExtractor",
     "UNetWithHead",
+    "LinearMap",
     "UNet2DTemporalRepeat",
     "UNetTemporal",
     "UNet1D",

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from .steady import Net2D, NetA, Net3D, FCNN, UNetWithHead
+from .steady import Net2D, NetA, Net3D, FCNN, UNetWithHead, LinearMap
 from .temporal import (
     UNet2DTemporalRepeat,
     UNetTemporal,
@@ -22,6 +22,9 @@ MODEL_REGISTRY: dict[str, Any] = {
     "Net3D": Net3D,
     "FCNN": FCNN,
     "UNetWithHead": UNetWithHead,
+    # TPU-first addition: convex affine model for the linear steady problems
+    # (models/steady.py LinearMap docstring).
+    "LinearMap": LinearMap,
     # temporal (input: IC grid (B, R, R, 2); UNet1D (B, N, 3); RNN (B, ng))
     "UNet2D": UNet2DTemporalRepeat,
     "UNetTemporal": UNetTemporal,

@@ -102,6 +102,28 @@ class Net3D(nn.Module):
         return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
+class LinearMap(nn.Module):
+    """Single affine map flatten(input) -> coefficients.
+
+    TPU-first addition (no reference counterpart): for the LINEAR steady
+    problems (Stokes square / hole) the forcing -> coefficient solution
+    operator is itself linear, and for band-limited forcing families
+    (sincos with bounded frequency, GRF with l=2) the R x R grid sampling
+    resolves the field, so an affine map from the grid values to the
+    coefficients can represent the operator to quadrature accuracy. Under
+    the preconditioned residual objective the loss is then a convex
+    quadratic in the parameters — optimization converges to the global
+    optimum instead of a CNN's local one.
+    """
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
+
+
 class FCNN(nn.Module):
     """MLP on the 6 forcing parameters (reference FCNN, network.py:120-138).
 

@@ -21,6 +21,7 @@ def _apply(model, variables, x):
     "name,x_shape,d_out,kwargs",
     [
         ("Net2D", (3, 20, 20, 2), 387, {"filters": 8}),
+        ("LinearMap", (3, 20, 20, 2), 387, {}),
         ("FCNN", (3, 6), 387, {"hidden_dims": (16, 32)}),
         ("UNetWithHead", (3, 20, 20, 2), 387, {"base_ch": 4, "latent_ch": 8, "head_filters": 8}),
     ],
@@ -42,6 +43,7 @@ def test_steady_models(name, x_shape, d_out, kwargs):
         ("UNetTemporal", (2, 16, 16, 2), {"base_ch": 4, "latent_ch": 8, "hidden": 16}),
         ("UNet1D", (2, 101, 3), {"base_ch": 4, "latent_ch": 8, "hidden": 16}),
         ("RNN", (2, 101), {"hidden": 32}),
+        ("LinearStep", (2, 101), {}),
     ],
 )
 def test_temporal_models(name, x_shape, kwargs):
@@ -59,6 +61,43 @@ def test_registry_complete():
     # every reference model family has a counterpart (SURVEY.md C15-C18)
     for ref_name in ["Net2D", "FCNN", "UNetWithHead", "UNet2D", "UNetTemporal", "UNet1D", "RNN"]:
         assert ref_name in MODEL_REGISTRY
+
+
+def test_linear_step_identity_init():
+    """At init (identity kernels, zero biases) every emitted step equals the
+    input — the T-step product is exactly conditioned at the start of
+    training, and the affine recursion semantics are pinned."""
+    T, n = 4, 13
+    m = build_model("LinearStep", d_out=n, seq_len=T)
+    x = jax.random.normal(KEY, (3, n))
+    vs = m.init(KEY, x, train=False)
+    out = np.asarray(m.apply(vs, x, train=False))
+    np.testing.assert_allclose(out, np.broadcast_to(np.asarray(x)[:, None, :], (3, T, n)))
+
+    # with a set step matrix W and bias b the rollout is h_t = h_{t-1} W + b
+    W = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (n, n)), np.float32) * np.float32(0.1)
+    b = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (n,)), np.float32)
+    import flax
+
+    vs2 = flax.core.unfreeze(vs)
+    vs2["params"]["Scan_AffineStep_0"]["Dense_0"]["kernel"] = jnp.asarray(W)
+    vs2["params"]["Scan_AffineStep_0"]["Dense_0"]["bias"] = jnp.asarray(b)
+    out2 = np.asarray(m.apply(vs2, x, train=False))
+    h = np.asarray(x)
+    for t in range(T):
+        h = h @ W + b
+        np.testing.assert_allclose(out2[:, t, :], h, rtol=2e-5, atol=2e-5)
+
+
+def test_linear_map_is_affine():
+    m = build_model("LinearMap", d_out=17)
+    x1 = jax.random.normal(KEY, (2, 5, 5, 2))
+    x2 = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 5, 2))
+    vs = m.init(KEY, x1, train=False)
+    y1 = np.asarray(m.apply(vs, x1, train=False))
+    y2 = np.asarray(m.apply(vs, x2, train=False))
+    ymid = np.asarray(m.apply(vs, 0.5 * (x1 + x2), train=False))
+    np.testing.assert_allclose(ymid, 0.5 * (y1 + y2), rtol=1e-5, atol=1e-6)
 
 
 def test_gradients_flow():
