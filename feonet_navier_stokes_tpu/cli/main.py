@@ -256,6 +256,33 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_fit_linear(args) -> int:
+    """Closed-form global fit of the LinearMap model (linear steady problems
+    only): solve the convex label-free residual objective exactly by least
+    squares, report val metrics, optionally save an eval-compatible
+    checkpoint. See linalg/linear_fit.py."""
+    from ..linalg.linear_fit import linear_map_lstsq, set_linear_map_params
+    from ..train import Trainer, TrainConfig
+
+    problem = _build_problem(args)
+    fit = linear_map_lstsq(problem, num_train=args.num_train,
+                           ridge=args.ridge)
+    tc = TrainConfig(model="LinearMap", num_val=args.num_val)
+    trainer = Trainer(problem, tc)
+    set_linear_map_params(trainer, fit)
+    _, val_ds = trainer.make_datasets()
+    metrics = {"train_fit_rms": fit["train_fit_rms"],
+               **trainer.evaluate(val_ds)}
+    print(json.dumps(metrics))
+    if args.ckpt_dir:
+        path = trainer.save_checkpoint(args.ckpt_dir)
+        print(f"checkpoint -> {path}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=1)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -300,6 +327,18 @@ def main(argv=None) -> int:
     s.add_argument("--n", type=int, default=8)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_solve)
+
+    fl = sub.add_parser(
+        "fit-linear",
+        help="closed-form LinearMap fit (convex residual objective)",
+    )
+    _add_problem_flags(fl)
+    fl.add_argument("--num-train", type=int, default=6000)
+    fl.add_argument("--num-val", type=int, default=1000)
+    fl.add_argument("--ridge", type=float, default=0.0)
+    fl.add_argument("--ckpt-dir", default=None)
+    fl.add_argument("--out", default=None)
+    fl.set_defaults(fn=cmd_fit_linear)
 
     t = sub.add_parser("train", help="train a coefficient predictor")
     _add_problem_flags(t)

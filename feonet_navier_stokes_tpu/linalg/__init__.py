@@ -3,6 +3,7 @@
 from .spai import spai, spai_sparse, equilibrate, condition_number
 from .bpx import bpx_factor, p2_interpolation, BPXFactor
 from .solvers import solve_dense, solve_dense_batched, implicit_euler_rollout
+from .linear_fit import linear_map_lstsq, set_linear_map_params
 from .newton import (masked_convection, ns_residual, newton_solve_ns,
                      stable_solve_ns, stable_solve_ns_sparse,
                      stable_solve_weak)
@@ -18,6 +19,8 @@ __all__ = [
     "solve_dense",
     "solve_dense_batched",
     "implicit_euler_rollout",
+    "linear_map_lstsq",
+    "set_linear_map_params",
     "masked_convection",
     "ns_residual",
     "newton_solve_ns",

@@ -1,0 +1,102 @@
+"""Closed-form (global) solution of the residual objective for LinearMap.
+
+For the LINEAR steady problems the label-free residual objective restricted
+to the LinearMap model class (models/steady.py) is a convex quadratic in the
+parameters: with an exact right preconditioner the per-sample optimum output
+solves ``op_train w = load``, so the optimal affine map is one least-squares
+solve over a feature matrix of model inputs. This module computes that
+optimum directly on host float64 — the same label-free information the
+gradient path uses (loads + assembled operator; reference solutions are
+never touched), minimized exactly instead of by 60k Adam steps.
+
+No reference counterpart: the reference (FEONet_Stokes_square/
+train_FEONet.py:259-301) only ever optimizes its residual objective with
+SGD-family steps, never exploiting that for its two Stokes problems the
+objective is quadratic.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+__all__ = ["linear_map_lstsq", "set_linear_map_params"]
+
+
+def _features(problem, batch) -> np.ndarray:
+    x = np.asarray(problem.model_input(batch, "LinearMap"), dtype=np.float64)
+    x = x.reshape(x.shape[0], -1)
+    return np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
+
+
+def linear_map_lstsq(
+    problem,
+    num_train: int = 6000,
+    ridge: float = 0.0,
+    seed: int = 5,
+) -> dict[str, Any]:
+    """Fit the optimal LinearMap for a steady linear problem.
+
+    Returns {'kernel': (d_in, d_out) f32, 'bias': (d_out,) f32,
+    'train_fit_rms': float} with kernel/bias in the flax Dense layout.
+    """
+    import jax
+
+    c = problem.config
+    if c.name not in ("stokes_square", "stokes_hole"):
+        raise ValueError(
+            "linear_map_lstsq requires a linear steady problem "
+            f"(stokes_square / stokes_hole), got {c.name!r}"
+        )
+    ops = problem.device_ops
+    op = np.asarray(ops["op_train"], dtype=np.float64)
+    if op.ndim != 2:
+        raise ValueError("linear_map_lstsq needs a dense op_train "
+                         "(use precond_mode='exact' or dense op_format)")
+
+    batch = problem.sample_batch(jax.random.PRNGKey(seed), num_train)
+    X = _features(problem, batch)
+    L = np.asarray(batch["load"], dtype=np.float64)
+    T = np.linalg.solve(op, L.T).T  # optimal per-sample output (training coords)
+
+    if ridge > 0:
+        A = X.T @ X + ridge * np.eye(X.shape[1])
+        W = np.linalg.solve(A, X.T @ T)
+    else:
+        W, *_ = np.linalg.lstsq(X, T, rcond=None)
+    fit_rms = float(np.sqrt(np.mean((X @ W - T) ** 2)))
+    return {
+        "kernel": np.asarray(W[:-1], dtype=np.float32),
+        "bias": np.asarray(W[-1], dtype=np.float32),
+        "train_fit_rms": fit_rms,
+    }
+
+
+def set_linear_map_params(trainer, fit: dict[str, Any]) -> None:
+    """Install a linear_map_lstsq solution into a Trainer built with
+    model='LinearMap' (params AND the EMA copy, if any)."""
+    import jax.numpy as jnp
+
+    if trainer.config.model != "LinearMap":
+        raise ValueError("trainer must be built with model='LinearMap'")
+
+    def install(params):
+        p = dict(params)
+        d = dict(p["Dense_0"])
+        if d["kernel"].shape != fit["kernel"].shape:
+            raise ValueError(
+                f"kernel shape {fit['kernel'].shape} != model "
+                f"{d['kernel'].shape} (resol_in/d_out mismatch?)"
+            )
+        d["kernel"] = jnp.asarray(fit["kernel"])
+        d["bias"] = jnp.asarray(fit["bias"])
+        p["Dense_0"] = d
+        return p
+
+    state = trainer.state
+    trainer.state = state.replace(
+        params=install(state.params),
+        ema_params=(install(state.ema_params)
+                    if state.ema_params is not None else None),
+    )

@@ -228,3 +228,25 @@ def test_native_spai_matches_scipy_path(space_4x4):
         alpha = np.sum(G * AG) / np.sum(AG * AG)
         M_ref += alpha * G
     np.testing.assert_allclose(M_nat, M_ref, atol=1e-11)
+
+
+def test_linear_map_lstsq_global_optimum():
+    """The closed-form LinearMap fit solves the convex residual objective to
+    (near) machine precision on a tiny stokes_square config — val rel-L2
+    collapses far below anything gradient training reaches."""
+    import jax
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.linalg import linear_map_lstsq, set_linear_map_params
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
+
+    p = build_problem(ProblemConfig(
+        name="stokes_square", bc="channel_flow", nx=4, precond_mode="exact"))
+    fit = linear_map_lstsq(p, num_train=800)
+    assert fit["train_fit_rms"] < 1e-7
+
+    trainer = Trainer(p, TrainConfig(model="LinearMap", num_val=50))
+    set_linear_map_params(trainer, fit)
+    _, val_ds = trainer.make_datasets()
+    errs = trainer.evaluate(val_ds)
+    assert errs["coeff"] < 1e-5, errs
