@@ -261,18 +261,30 @@ def cmd_fit_linear(args) -> int:
     only): solve the convex label-free residual objective exactly by least
     squares, report val metrics, optionally save an eval-compatible
     checkpoint. See linalg/linear_fit.py."""
-    from ..linalg.linear_fit import linear_map_lstsq, set_linear_map_params
+    from ..linalg.linear_fit import (
+        linear_map_lstsq,
+        linear_step_exact,
+        set_linear_map_params,
+        set_linear_step_params,
+    )
     from ..train import Trainer, TrainConfig
 
     problem = _build_problem(args)
-    fit = linear_map_lstsq(problem, num_train=args.num_train,
-                           ridge=args.ridge)
-    tc = TrainConfig(model="LinearMap", num_val=args.num_val)
-    trainer = Trainer(problem, tc)
-    set_linear_map_params(trainer, fit)
+    if args.problem == "timedep_stokes":
+        fit = linear_step_exact(problem)
+        tc = TrainConfig(model="LinearStep", num_val=args.num_val)
+        trainer = Trainer(problem, tc)
+        set_linear_step_params(trainer, fit)
+        metrics = {}
+    else:
+        fit = linear_map_lstsq(problem, num_train=args.num_train,
+                               ridge=args.ridge)
+        tc = TrainConfig(model="LinearMap", num_val=args.num_val)
+        trainer = Trainer(problem, tc)
+        set_linear_map_params(trainer, fit)
+        metrics = {"train_fit_rms": fit["train_fit_rms"]}
     _, val_ds = trainer.make_datasets()
-    metrics = {"train_fit_rms": fit["train_fit_rms"],
-               **trainer.evaluate(val_ds)}
+    metrics = {**metrics, **trainer.evaluate(val_ds)}
     print(json.dumps(metrics))
     if args.ckpt_dir:
         path = trainer.save_checkpoint(args.ckpt_dir)

@@ -21,7 +21,12 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["linear_map_lstsq", "set_linear_map_params"]
+__all__ = [
+    "linear_map_lstsq",
+    "set_linear_map_params",
+    "linear_step_exact",
+    "set_linear_step_params",
+]
 
 
 def _features(problem, batch) -> np.ndarray:
@@ -71,6 +76,84 @@ def linear_map_lstsq(
         "bias": np.asarray(W[-1], dtype=np.float32),
         "train_fit_rms": fit_rms,
     }
+
+
+def linear_step_exact(problem) -> dict[str, Any]:
+    """Exact LinearStep parameters for timedep_stokes (training coords).
+
+    The rollout residual (residual/losses.py:rollout_residual) vanishes
+    identically at
+
+        w_t = sys^{-1} [ S_dr (dc ∘ (M w_{t-1})) + dt f_dr ]
+
+    with sys = (dr (S+dt·A) dc) M. For precond_mode='exact' sys == I, so the
+    zero-residual recursion is itself the affine map LinearStep represents:
+
+        W_step = S_dr diag(dc) M,   b_step = dt f_dr,
+        W_in   = dr ∘ (S + dt·A)    (maps the physical IC u0 to the h0 with
+                                     dc ∘ (M h0) = u0, making step(h0) the
+                                     correct first step)
+
+    — i.e. the exact discrete propagator expressed in the model class,
+    computed from the assembled operators only (label-free). This is the
+    global optimum the queued LinearStep training runs approach by Adam.
+    """
+    c = problem.config
+    if c.name != "timedep_stokes":
+        raise ValueError(f"linear_step_exact requires timedep_stokes, got {c.name!r}")
+    if problem.precond64 is None or c.precond_mode != "exact":
+        raise ValueError("linear_step_exact requires precond_mode='exact'")
+    S64 = problem.S64
+    A64 = problem.A64
+    if hasattr(S64, "toarray"):
+        S64 = S64.toarray()
+    if hasattr(A64, "toarray"):
+        A64 = A64.toarray()
+    n = S64.shape[0]
+    if problem.equil64 is not None:
+        dr, dc = problem.equil64
+    else:
+        dr = dc = np.ones(n)
+    M = np.asarray(problem.precond64, dtype=np.float64)
+    S_dr = dr[:, None] * np.asarray(S64, dtype=np.float64)
+    W_step = S_dr @ (dc[:, None] * M)
+    b_step = c.dt * dr * np.asarray(problem.load_const64, dtype=np.float64)
+    W_in = dr[:, None] * (np.asarray(S64, np.float64) + c.dt * np.asarray(A64, np.float64))
+    return {
+        "kernel_in": np.asarray(W_in.T, dtype=np.float32),
+        "kernel_step": np.asarray(W_step.T, dtype=np.float32),
+        "bias_step": np.asarray(b_step, dtype=np.float32),
+    }
+
+
+def set_linear_step_params(trainer, fit: dict[str, Any]) -> None:
+    """Install a linear_step_exact solution into a Trainer built with
+    model='LinearStep' (params AND the EMA copy, if any)."""
+    import jax.numpy as jnp
+
+    if trainer.config.model != "LinearStep":
+        raise ValueError("trainer must be built with model='LinearStep'")
+
+    def install(params):
+        p = dict(params)
+        d_in = dict(p["Dense_0"])
+        d_in["kernel"] = jnp.asarray(fit["kernel_in"])
+        d_in["bias"] = jnp.zeros_like(d_in["bias"])
+        p["Dense_0"] = d_in
+        scan = dict(p["Scan_AffineStep_0"])
+        d_st = dict(scan["Dense_0"])
+        d_st["kernel"] = jnp.asarray(fit["kernel_step"])
+        d_st["bias"] = jnp.asarray(fit["bias_step"])
+        scan["Dense_0"] = d_st
+        p["Scan_AffineStep_0"] = scan
+        return p
+
+    state = trainer.state
+    trainer.state = state.replace(
+        params=install(state.params),
+        ema_params=(install(state.ema_params)
+                    if state.ema_params is not None else None),
+    )
 
 
 def set_linear_map_params(trainer, fit: dict[str, Any]) -> None:

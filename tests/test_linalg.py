@@ -250,3 +250,32 @@ def test_linear_map_lstsq_global_optimum():
     _, val_ds = trainer.make_datasets()
     errs = trainer.evaluate(val_ds)
     assert errs["coeff"] < 1e-5, errs
+
+
+def test_linear_step_exact_propagator():
+    """linear_step_exact installs the exact discrete propagator: the rollout
+    residual loss vanishes and val trajectories match the implicit-Euler
+    ground truth to f32 precision."""
+    import jax
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.linalg import linear_step_exact, set_linear_step_params
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
+
+    p = build_problem(ProblemConfig(
+        name="timedep_stokes", bc="lower", nx=5, dt=0.01, seq_len=6,
+        equilibrate=True, precond_mode="exact"))
+    fit = linear_step_exact(p)
+    trainer = Trainer(p, TrainConfig(model="LinearStep", num_val=20))
+    set_linear_step_params(trainer, fit)
+    _, val_ds = trainer.make_datasets()
+
+    x = p.model_input(val_ds.batch, "LinearStep")
+    pred, _ = trainer._apply(trainer.state.params, trainer.state.batch_stats,
+                             x, train=False)
+    loss = float(p.loss(pred, val_ds.batch, trainer.ops))
+    denom = float((val_ds.batch["u_init"] ** 2).sum())
+    assert loss / denom < 1e-8, (loss, denom)
+
+    errs = trainer.evaluate(val_ds)
+    assert errs["traj_rel_l2"] < 1e-4, errs
