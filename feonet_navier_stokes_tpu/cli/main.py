@@ -163,6 +163,7 @@ def cmd_train(args) -> int:
         truth_for_train=not args.no_train_truth,
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
+        correction_penalty=args.correction_penalty,
         ema_decay=args.ema_decay,
         cascade_epochs=args.cascade_epochs,
         resample_every=args.resample_every,
@@ -381,6 +382,10 @@ def main(argv=None) -> int:
                         "supervised = MSE vs solver ground truth; hybrid = both")
     t.add_argument("--residual-weight", type=float, default=1.0,
                    help="residual term weight for --loss-mode hybrid")
+    t.add_argument("--correction-penalty", type=float, default=0.0,
+                   help="penalize the raw output norm (label-free root "
+                        "selection for the nonlinear problems; pair with "
+                        "--stokes-shift)")
     t.add_argument("--ema-decay", type=float, default=0.0,
                    help="Polyak/EMA parameter averaging for eval+checkpoints "
                         "(0 = off; 0.999 is a good full-batch default)")

@@ -79,6 +79,14 @@ class TrainConfig:
     # by validation metrics. False skips the (expensive, e.g. Newton-per-
     # sample) ground truth for the TRAIN split — val metrics are unaffected.
     truth_for_train: bool = True
+    # Label-free root selection for the NONLINEAR problems: the residual
+    # objective is satisfied by EVERY root of the system (run 58: residual
+    # 1.3e-6 with coeff error 0.77 — the network picks wrong branches), so
+    # bias the objective toward the minimal-correction root by penalizing
+    # the raw network output norm. Meaningful with stokes_shift, where the
+    # raw output IS the distance from the Stokes solution and the stable
+    # branch is the one continuously connected to it. Still label-free.
+    correction_penalty: float = 0.0
     # 'residual'  — label-free Galerkin residual (the reference's method).
     # 'supervised'— MSE against the framework's solver ground truth (the
     #               labels the reference's create_data.py computes but only
@@ -286,18 +294,24 @@ class Trainer:
         mode = self.config.loss_mode
         x = self.problem.model_input(batch, self.config.model)
         out, new_bs = self._apply(params, batch_stats, x, train=True, rng=rng)
+        raw = out
         out = self.problem.shift_output(out, batch)
+        pen = 0.0
+        if self.config.correction_penalty > 0.0:
+            pen = self.config.correction_penalty * jnp.mean(
+                jnp.sum(jnp.square(raw), axis=-1)
+            )
         if mode == "residual":
-            return self.problem.loss(out, batch, ops), new_bs
+            return self.problem.loss(out, batch, ops) + pen, new_bs
         # supervised/hybrid: compare in SOLUTION coordinates (after unmap)
         pred = self.problem.unmap(out, ops)
         sup = jnp.mean(jnp.square(pred - batch["truth"]))
         if mode == "supervised":
-            return sup, new_bs
+            return sup + pen, new_bs
         if mode == "hybrid":
             return sup + self.config.residual_weight * self.problem.loss(
                 out, batch, ops
-            ), new_bs
+            ) + pen, new_bs
         raise ValueError(f"unknown loss_mode {mode!r}")
 
     def _train_step_impl(self, state: TrainState, batch, rng, ops):

@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=40000)
     ap.add_argument("--cascade-epochs", type=int, default=0)
     ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--correction-penalty", type=float, default=0.0,
+                    help="label-free root selection: penalize the raw "
+                         "output norm (with --stokes-shift = distance from "
+                         "the Stokes solution)")
     ap.add_argument("--conv-ramp", type=int, default=0,
                     help="convection continuation: ramp gamma 0->1 over N epochs")
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -106,6 +110,7 @@ def main() -> int:
         eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,
         log_path=args.log, loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
+        correction_penalty=args.correction_penalty,
     )
     trainer = Trainer(p, tc)
     print(f"model={args.model} params={trainer.n_params:,} "
