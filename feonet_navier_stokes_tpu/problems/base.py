@@ -1025,6 +1025,62 @@ class Problem:
         its = np.asarray([o[2] for o in out])
         return us, rels, its
 
+    def refine_ns(
+        self,
+        u: np.ndarray,
+        batch: dict[str, Array],
+        steps: int = 3,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Neural-warm-started Newton refinement (steady_ns, host f64).
+
+        Deployment pattern for the nonlinear problem: the network prediction
+        initializes a few damped-Newton steps on the SAME weak system the
+        ground truth solves. Inside the basin Newton converges quadratically,
+        so 2-3 steps turn an O(1e-1) surrogate into a solver-accurate
+        solution — skipping the cold solve's long Picard/IMEX march to the
+        basin (linalg/newton.py:stable_solve_weak; Picard itself is
+        EXPANSIVE around these roots, which is why a cheap fixed-point
+        refinement is not an option). Returns (u_refined, rel_res).
+        """
+        from ..linalg.newton import _damped_newton
+
+        c = self.config
+        if c.name != "steady_ns":
+            raise ValueError(f"refine_ns requires steady_ns, got {c.name!r}")
+        if self.is_bsr:
+            raise ValueError("refine_ns: dense path only (use the sparse "
+                             "stable solver at the stretch scale)")
+        loads = self.load64(batch)
+        mask64 = np.asarray(self.bc.mask, dtype=np.float64)
+        keep = 1.0 - mask64
+        if c.ns_truth == "weak":
+            A = np.asarray(self.A_truth64, dtype=np.float64)
+            conv = lambda u_: keep * self._conv_fn(u_)
+            jac = lambda u_: A + keep[:, None] * self._jac_fn(u_)
+        else:
+            from ..linalg.newton import (_masked_convection_np,
+                                         _ns_jacobian_np)
+
+            A = np.asarray(self.A64, dtype=np.float64)
+            B1 = np.asarray(self.B1_64, np.float64)
+            B2 = np.asarray(self.B2_64, np.float64)
+            conv = lambda u_: _masked_convection_np(
+                u_, B1, B2, self.n2, mask64)
+            jac = lambda u_: _ns_jacobian_np(u_, A, B1, B2, self.n2, mask64)
+        u = np.asarray(u, dtype=np.float64).copy()
+        rels = np.empty(u.shape[0])
+        for i in range(u.shape[0]):
+            f = loads[i]
+            f_norm = max(float(np.linalg.norm(f)), 1e-30)
+            ui, r, _ = _damped_newton(
+                lambda u_: u_ @ A.T + conv(u_) - f,
+                jac,
+                u[i], f_norm, max(steps, 0), 1e-12,
+            )
+            u[i] = ui
+            rels[i] = r / f_norm
+        return u, rels
+
     def sample_converged(
         self,
         key: Array,
