@@ -390,3 +390,32 @@ def test_ema_averaging(small_square):
     out_raw = tr_raw.evaluate(val_ds)
     assert abs(out_ema["coeff"] - hist[-1]["coeff"]) < 1e-6
     assert out_ema["coeff"] != out_raw["coeff"]
+
+
+def test_correction_penalty_adds_exact_term(small_square):
+    """correction_penalty adds cp * mean(sum(raw^2)) to the loss — the
+    label-free minimal-correction root-selection term (trainer.py:299-305).
+    Same seed => identical init params, so the two losses must differ by
+    exactly the penalty evaluated on the raw (pre-shift) outputs."""
+    kw = dict(
+        model="FCNN", lr=1e-3, epochs=1, num_train=8, num_val=4,
+        eval_every=1, model_kwargs={"hidden_dims": (8,)}, seed=11,
+        data_parallel=False,
+    )
+    tr0 = Trainer(small_square, TrainConfig(correction_penalty=0.0, **kw))
+    tr1 = Trainer(small_square, TrainConfig(correction_penalty=0.5, **kw))
+    batch = small_square.sample_batch(jax.random.PRNGKey(1), 8)
+    rng = jax.random.PRNGKey(2)
+    l0, _ = tr0._loss_value(tr0.state.params, tr0.state.batch_stats, batch, rng, tr0.ops)
+    l1, _ = tr1._loss_value(tr1.state.params, tr1.state.batch_stats, batch, rng, tr1.ops)
+    x = small_square.model_input(batch, "FCNN")
+    raw, _ = tr0._apply(tr0.state.params, tr0.state.batch_stats, x, train=True, rng=rng)
+    pen = 0.5 * jnp.mean(jnp.sum(jnp.square(raw), axis=-1))
+    np.testing.assert_allclose(float(l1 - l0), float(pen), rtol=1e-5)
+
+    # and training with the penalty still reduces the loss
+    tr1b = Trainer(small_square, TrainConfig(**{**kw, "epochs": 60, "eval_every": 30},
+                                             correction_penalty=1e-3))
+    train_ds, val_ds = tr1b.make_datasets()
+    hist = tr1b.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["loss"] < hist[0]["loss"]
