@@ -1047,11 +1047,26 @@ class Problem:
         c = self.config
         if c.name != "steady_ns":
             raise ValueError(f"refine_ns requires steady_ns, got {c.name!r}")
-        if self.is_bsr:
-            raise ValueError("refine_ns: dense path only (use the sparse "
-                             "stable solver at the stretch scale)")
         loads = self.load64(batch)
         mask64 = np.asarray(self.bc.mask, dtype=np.float64)
+        if self.is_bsr:
+            # Sparse twin at the ~50k-DoF stretch scale (dense J is 18 GB):
+            # per-sample CSR-Jacobian damped Newton warm-started at the
+            # surrogate prediction — same deployment pattern, splu per
+            # iteration instead of dense LU (linalg/newton.py:213).
+            from ..linalg.newton import newton_solve_ns_sparse
+
+            u = np.asarray(u, dtype=np.float64).copy()
+            rels = np.empty(u.shape[0])
+            for i in range(u.shape[0]):
+                ui, rel, _ = newton_solve_ns_sparse(
+                    self.A64, self.B1_64, self.B2_64, loads[i], self.n2,
+                    u0=u[i], conv_row_mask=mask64,
+                    max_iters=max(steps, 0), tol=1e-12,
+                )
+                u[i] = ui
+                rels[i] = rel
+            return u, rels
         keep = 1.0 - mask64
         if c.ns_truth == "weak":
             A = np.asarray(self.A_truth64, dtype=np.float64)

@@ -32,7 +32,12 @@ def main() -> int:
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--equilibrate", action="store_true")
-    ap.add_argument("--precond-mode", default="exact")
+    ap.add_argument("--precond-mode", default="exact",
+                    help="'spai' (with default precond_iters=0: no precond) "
+                         "is the only valid choice at --op-format bsr")
+    ap.add_argument("--op-format", default="dense", choices=["dense", "bsr"],
+                    help="bsr at the ~47k stretch scale: sparse-Newton "
+                         "refinement (problems/base.py:refine_ns bsr branch)")
     ap.add_argument("--stokes-shift", action="store_true")
     ap.add_argument("--model", default="Net2D")
     ap.add_argument("--model-kwargs", default='{"filters": 32}')
@@ -55,6 +60,7 @@ def main() -> int:
         name="steady_ns", bc=args.bc, nx=args.nx,
         equilibrate=args.equilibrate, precond_mode=args.precond_mode,
         ns_branch="stable", stokes_shift=args.stokes_shift,
+        op_format=args.op_format,
     ))
     z = np.load(args.data_cache, allow_pickle=True)
     f32 = jnp.float32
