@@ -47,6 +47,11 @@ def main() -> int:
                     help="bfloat16 compute dtype for the model (params f32)")
     ap.add_argument("--num-train", type=int, default=256)
     ap.add_argument("--num-val", type=int, default=64)
+    ap.add_argument("--model", default="Net2D",
+                    choices=["Net2D", "UNetWithHead"],
+                    help="UNetWithHead halves the supervised NS error at "
+                         "ne=450 (runs/r2/ns450_sup_unet_result.json); "
+                         "--filters maps to its head_filters")
     ap.add_argument("--filters", type=int, default=8)
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--loss-mode", default="residual",
@@ -102,8 +107,18 @@ def main() -> int:
         f"({100 * op.density:.1f}% dense) [{time.time() - t0:.0f}s]"
     )
 
+    if args.model == "UNetWithHead":
+        model_kwargs = {
+            "head_filters": args.filters, "head_kernel_size": 5,
+            **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
+        }
+    else:
+        model_kwargs = {
+            "filters": args.filters, "kernel_size": 5,
+            **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
+        }
     tc = TrainConfig(
-        model="Net2D",
+        model=args.model,
         lr=args.lr,
         lr_schedule=args.lr_schedule,
         grad_clip=args.grad_clip,
@@ -119,13 +134,10 @@ def main() -> int:
         # residual training is label-free: SuperLU ground truth only for the
         # val split; supervised/hybrid also need train-split labels
         truth_for_train=args.loss_mode != "residual",
-        model_kwargs={
-            "filters": args.filters, "kernel_size": 5,
-            **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
-        },
+        model_kwargs=model_kwargs,
     )
     trainer = Trainer(p, tc)
-    print(f"model=Net2D params={trainer.n_params:,} "
+    print(f"model={args.model} params={trainer.n_params:,} "
           f"backend={jax.default_backend()}")
 
     if args.init_from:
@@ -191,7 +203,7 @@ def main() -> int:
     result = {
         "problem": (
             f"{args.problem} nx={args.nx} (ne={p.space.mesh.num_cells}, "
-            f"ng={p.ng}) {bc}, Net2D(filters={args.filters}) "
+            f"ng={p.ng}) {bc}, {args.model}(filters={args.filters}) "
             f"+ Pallas BSR operators — the ~50k-DoF stretch config "
             f"(SURVEY.md §7 step 7; no reference counterpart, its largest "
             f"config is ng=2549)"
