@@ -1030,6 +1030,7 @@ class Problem:
         u: np.ndarray,
         batch: dict[str, Array],
         steps: int = 3,
+        tol: float = 1e-12,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Neural-warm-started Newton refinement (steady_ns, host f64).
 
@@ -1062,7 +1063,7 @@ class Problem:
                 ui, rel, _ = newton_solve_ns_sparse(
                     self.A64, self.B1_64, self.B2_64, loads[i], self.n2,
                     u0=u[i], conv_row_mask=mask64,
-                    max_iters=max(steps, 0), tol=1e-12,
+                    max_iters=max(steps, 0), tol=tol,
                 )
                 u[i] = ui
                 rels[i] = rel
@@ -1090,7 +1091,7 @@ class Problem:
             ui, r, _ = _damped_newton(
                 lambda u_: u_ @ A.T + conv(u_) - f,
                 jac,
-                u[i], f_norm, max(steps, 0), 1e-12,
+                u[i], f_norm, max(steps, 0), tol,
             )
             u[i] = ui
             rels[i] = r / f_norm
