@@ -290,7 +290,7 @@ class Trainer:
         out = self.model.apply(variables, x, train=train, **kwargs)
         return out, batch_stats
 
-    def _loss_value(self, params, batch_stats, batch, rng, ops):
+    def _loss_value(self, params, batch_stats, batch, rng, ops, res_batch=None):
         mode = self.config.loss_mode
         x = self.problem.model_input(batch, self.config.model)
         out, new_bs = self._apply(params, batch_stats, x, train=True, rng=rng)
@@ -309,12 +309,24 @@ class Trainer:
         if mode == "supervised":
             return sup + pen, new_bs
         if mode == "hybrid":
-            return sup + self.config.residual_weight * self.problem.loss(
-                out, batch, ops
-            ) + pen, new_bs
+            if res_batch is not None:
+                # split hybrid: the residual term is evaluated on a FRESH
+                # unlabeled batch (resample_every) — the supervised anchor
+                # pins the stable branch on the fixed labeled set while the
+                # label-free Galerkin residual regularizes on unseen loads
+                # (infinite-data regime without fresh solves).
+                rx = self.problem.model_input(res_batch, self.config.model)
+                rout, new_bs = self._apply(params, new_bs, rx, train=True,
+                                           rng=rng)
+                rout = self.problem.shift_output(rout, res_batch)
+                res = self.problem.loss(rout, res_batch, ops)
+            else:
+                res = self.problem.loss(out, batch, ops)
+            return sup + self.config.residual_weight * res + pen, new_bs
         raise ValueError(f"unknown loss_mode {mode!r}")
 
-    def _train_step_impl(self, state: TrainState, batch, rng, ops):
+    def _train_step_impl(self, state: TrainState, batch, rng, ops,
+                         res_batch=None):
         ramp = self.config.conv_ramp_epochs
         if ramp and self.problem.config.name in ("steady_ns", "timedep_ns"):
             # convection-continuation gamma, computed inside the jit from
@@ -323,7 +335,8 @@ class Trainer:
             ops = {**ops, "conv_gamma": gamma}
 
         def loss_fn(p):
-            return self._loss_value(p, state.batch_stats, batch, rng, ops)
+            return self._loss_value(p, state.batch_stats, batch, rng, ops,
+                                    res_batch)
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if self.is_lbfgs:
@@ -421,13 +434,26 @@ class Trainer:
                 train_ds.truth,
             )
         n = train_ds.n
-        if c.resample_every > 0 and c.loss_mode != "residual":
+        # 'residual': fresh batches replace the whole (label-free) batch.
+        # 'hybrid': fresh UNLABELED batches feed only the residual term
+        #           (split hybrid) — supervised anchor stays fixed.
+        split_hybrid = c.resample_every > 0 and c.loss_mode == "hybrid"
+        if c.resample_every > 0 and c.loss_mode == "supervised":
             raise ValueError(
-                "resample_every needs the label-free residual objective "
-                "(supervised/hybrid truth would require fresh solves)"
+                "resample_every needs a label-free residual term "
+                "(supervised truth would require fresh solves)"
             )
         resample_key = jax.random.PRNGKey(c.seed + 12345)
         bs = c.batch_size if c.batch_size and c.batch_size < n else None
+        if split_hybrid and bs is not None:
+            raise ValueError("split hybrid (resample_every + hybrid) is "
+                             "full-batch only")
+        res_batch = None
+        if split_hybrid:
+            resample_key, sub = jax.random.split(resample_key)
+            res_batch = self.problem.sample_batch(sub, n)
+            if self.mesh is not None:
+                res_batch = shard_batch(res_batch, self.mesh)
         if bs is None:
             # full batch (reference default): shard once, reuse every epoch
             batch = train_ds.batch
@@ -453,13 +479,17 @@ class Trainer:
                         and (epoch - 1) % c.resample_every == 0
                         and epoch > 1):
                     resample_key, sub = jax.random.split(resample_key)
-                    batch = self.problem.sample_batch(sub, n)
+                    fresh = self.problem.sample_batch(sub, n)
                     if self.mesh is not None:
-                        batch = shard_batch(batch, self.mesh)
+                        fresh = shard_batch(fresh, self.mesh)
+                    if split_hybrid:
+                        res_batch = fresh
+                    else:
+                        batch = fresh
                 rng, step_rng = jax.random.split(rng)
                 if bs is None:
                     self.state, loss = self._train_step(
-                        self.state, batch, step_rng, self.ops
+                        self.state, batch, step_rng, self.ops, res_batch
                     )
                 else:
                     idx = perm_rng.permutation(n)[: n_batches * bs].reshape(

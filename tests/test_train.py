@@ -355,6 +355,36 @@ def test_resample_every_infinite_data(small_square):
         tr2.fit(ds2, None, verbose=False)
 
 
+def test_split_hybrid_resample(small_square):
+    """Split hybrid: loss_mode='hybrid' + resample_every>0 keeps the
+    supervised anchor on the FIXED labeled set while the Galerkin residual
+    term sees fresh unlabeled batches — the label-free infinite-data
+    regularizer for problems whose truth is expensive (steady NS). Must
+    train without recompiles and reduce the loss; batch_size rejects it."""
+    tc = TrainConfig(
+        model="FCNN", lr=2e-3, epochs=120, num_train=16, num_val=8,
+        eval_every=60, data_parallel=False, loss_mode="hybrid",
+        residual_weight=0.1, resample_every=20,
+        model_kwargs={"hidden_dims": (16,)},
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+    tc_bad = TrainConfig(
+        model="FCNN", epochs=5, num_train=8, num_val=4, batch_size=4,
+        loss_mode="hybrid", resample_every=10, data_parallel=False,
+        model_kwargs={"hidden_dims": (8,)},
+    )
+    tr2 = Trainer(small_square, tc_bad)
+    ds2, _ = tr2.make_datasets()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="full-batch"):
+        tr2.fit(ds2, None, verbose=False)
+
+
 def test_ema_averaging(small_square):
     """EMA (Polyak) averaging: ema_params track but lag the raw iterates,
     eval/checkpoints consume the averaged params, and the warmup is
