@@ -115,6 +115,10 @@ class TrainConfig:
     # precomputed dataset has (its FEniCS loads are baked offline). Residual
     # loss mode only. 0 = off.
     resample_every: int = 0
+    # Size of each redrawn batch (0 = the train-split size). In split hybrid
+    # the fresh batch only feeds the residual term, so it can be smaller
+    # than the labeled set to bound the extra forward/backward cost.
+    resample_size: int = 0
     # Convection continuation for the NS residual objectives: gamma ramps
     # linearly 0 -> 1 over this many epochs (then stays 1), scaling the
     # quadratic convection term — the training-objective analog of the
@@ -448,10 +452,11 @@ class Trainer:
         if split_hybrid and bs is not None:
             raise ValueError("split hybrid (resample_every + hybrid) is "
                              "full-batch only")
+        n_res = c.resample_size or n
         res_batch = None
         if split_hybrid:
             resample_key, sub = jax.random.split(resample_key)
-            res_batch = self.problem.sample_batch(sub, n)
+            res_batch = self.problem.sample_batch(sub, n_res)
             if self.mesh is not None:
                 res_batch = shard_batch(res_batch, self.mesh)
         if bs is None:
@@ -479,7 +484,8 @@ class Trainer:
                         and (epoch - 1) % c.resample_every == 0
                         and epoch > 1):
                     resample_key, sub = jax.random.split(resample_key)
-                    fresh = self.problem.sample_batch(sub, n)
+                    fresh = self.problem.sample_batch(
+                        sub, n_res if split_hybrid else n)
                     if self.mesh is not None:
                         fresh = shard_batch(fresh, self.mesh)
                     if split_hybrid:

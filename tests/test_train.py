@@ -364,7 +364,7 @@ def test_split_hybrid_resample(small_square):
     tc = TrainConfig(
         model="FCNN", lr=2e-3, epochs=120, num_train=16, num_val=8,
         eval_every=60, data_parallel=False, loss_mode="hybrid",
-        residual_weight=0.1, resample_every=20,
+        residual_weight=0.1, resample_every=20, resample_size=8,
         model_kwargs={"hidden_dims": (16,)},
     )
     tr = Trainer(small_square, tc)

@@ -44,6 +44,8 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=40000)
     ap.add_argument("--cascade-epochs", type=int, default=0)
     ap.add_argument("--resample-every", type=int, default=0)
+    ap.add_argument("--resample-size", type=int, default=0,
+                    help="fresh-batch size for split hybrid (0 = train size)")
     ap.add_argument("--correction-penalty", type=float, default=0.0,
                     help="label-free root selection: penalize the raw "
                          "output norm (with --stokes-shift = distance from "
@@ -105,6 +107,7 @@ def main() -> int:
         ema_decay=args.ema_decay, epochs=args.epochs,
         cascade_epochs=args.cascade_epochs,
         resample_every=args.resample_every,
+        resample_size=args.resample_size,
         conv_ramp_epochs=args.conv_ramp,
         num_train=train_ds.n, num_val=val_ds.n,
         eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,

@@ -69,6 +69,8 @@ def main() -> int:
     ap.add_argument("--resample-every", type=int, default=0,
                     help="label-free infinite data: redraw the train batch "
                          "every N epochs")
+    ap.add_argument("--resample-size", type=int, default=0,
+                    help="fresh-batch size for split hybrid (0 = train size)")
     ap.add_argument("--equilibrate", action="store_true",
                     help="train on the Ruiz-equilibrated system (see "
                          "ProblemConfig.equilibrate) — the sparsity-"
@@ -130,6 +132,7 @@ def main() -> int:
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
         resample_every=args.resample_every,
+        resample_size=args.resample_size,
         ema_decay=args.ema_decay,
         # residual training is label-free: SuperLU ground truth only for the
         # val split; supervised/hybrid also need train-split labels
