@@ -229,13 +229,31 @@ def cmd_eval(args) -> int:
     from ..train import Trainer, TrainConfig
 
     problem = _build_problem(args)
+    # num_train=1 / truth_for_train=False: eval only uses the val split, but
+    # make_datasets builds both — the defaults (1000 solver-backed train
+    # samples) made `feonet eval` take minutes-to-hours for nothing.
     tc = TrainConfig(model=args.model, num_val=args.num_val,
+                     num_train=1, truth_for_train=False,
                      model_kwargs=json.loads(args.model_kwargs),
                      ema_decay=0.999 if args.ema else 0.0)
     trainer = Trainer(problem, tc)
     trainer.load_checkpoint(args.ckpt)
     _, val_ds = trainer.make_datasets()
     metrics = trainer.evaluate(val_ds)
+    if getattr(args, "refine_steps", 0):
+        # Deployment path for steady NS (docs/navier_stokes.md §3): the
+        # prediction warm-starts damped Newton on the weak system — a few
+        # steps reach solver accuracy at a fraction of a cold solve's cost.
+        from ..train.metrics import component_errors
+
+        pred = np.asarray(trainer._eval_forward(
+            trainer.state, val_ds.batch, trainer.ops), np.float64)
+        refined, rel = problem.refine_ns(
+            pred, val_ds.batch, steps=args.refine_steps)
+        errs = component_errors(refined, np.asarray(val_ds.truth, np.float64),
+                                problem.n2)
+        metrics.update({f"refined_{k}": float(v) for k, v in errs.items()})
+        metrics["refined_rel_res_max"] = float(np.max(rel))
     print(json.dumps(metrics))
     if args.plot:
         from ..viz import tricontourf_compare
@@ -422,6 +440,11 @@ def main(argv=None) -> int:
                    help="evaluate the checkpoint's EMA params")
     e.add_argument("--ckpt", required=True)
     e.add_argument("--num-val", type=int, default=1000)
+    e.add_argument("--refine-steps", type=int, default=0,
+                   help="steady_ns only: also report metrics after N "
+                        "warm-started Newton refinement steps on the "
+                        "predictions (the <1e-3 deployment path; "
+                        "docs/navier_stokes.md)")
     e.add_argument("--plot", default=None, metavar="PNG",
                    help="save a (prediction | reference | abs error) "
                         "tricontourf comparison")

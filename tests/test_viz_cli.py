@@ -66,6 +66,30 @@ def test_cli_eval_plot_end_to_end(tmp_path, capsys):
     assert os.path.isfile(png) and os.path.getsize(png) > 10_000
 
 
+def test_cli_eval_refine_steps(tmp_path, capsys):
+    """feonet eval --refine-steps N (steady_ns): warm-started Newton
+    refinement of the predictions reaches solver accuracy regardless of how
+    little the network trained — the deployment path for <1e-3 NS
+    (docs/navier_stokes.md section 3)."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    common = ["--problem", "steady_ns", "--bc", "lower", "--nx", "4",
+              "--model", "FCNN"]
+    rc = cli_main(["train", *common, "--epochs", "400", "--eval-every", "400",
+                   "--num-train", "8", "--num-val", "4",
+                   "--loss-mode", "supervised", "--ckpt-dir", ckpt_dir])
+    assert rc == 0
+    capsys.readouterr()
+    latest = Trainer.latest_checkpoint(ckpt_dir)
+    rc = cli_main(["eval", *common, "--ckpt", latest, "--num-val", "4",
+                   "--refine-steps", "25"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    metrics = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+    assert metrics["refined_rel_res_max"] < 1e-8
+    assert metrics["refined_coeff"] < 1e-6
+    assert metrics["refined_coeff"] < metrics["coeff"]
+
+
 def test_cli_train_resume(tmp_path, capsys):
     """--resume restores the latest step_* checkpoint from --ckpt-dir."""
     ckpt_dir = str(tmp_path / "ckpt")
