@@ -228,6 +228,12 @@ def cmd_eval(args) -> int:
 
     from ..train import Trainer, TrainConfig
 
+    if getattr(args, "refine_steps", 0) and args.problem != "steady_ns":
+        # fail fast: refine_ns would raise the same constraint only AFTER
+        # the (potentially long) eval pass
+        print(f"error: --refine-steps applies to --problem steady_ns only "
+              f"(got {args.problem!r})", file=sys.stderr)
+        return 2
     problem = _build_problem(args)
     # num_train=1 / truth_for_train=False: eval only uses the val split, but
     # make_datasets builds both — the defaults (1000 solver-backed train

@@ -127,6 +127,22 @@ class TrainConfig:
     # well-conditioned (preconditionable) Stokes system; the target morphs
     # into the true NS residual as gamma -> 1. 0 = off (gamma = 1 always).
     conv_ramp_epochs: int = 0
+    # Loss-explosion abort: trip when the eval-window loss exceeds
+    # divergence_factor * its running minimum (catches FINITE blow-ups the
+    # isfinite nan_guard cannot — e.g. the split-hybrid 6e24 divergence,
+    # runs/r2c/ns450_hysplit6k). On trip: restore the best-tracked state
+    # (see track_best) and stop, recording {'diverged': epoch} in history.
+    # The reference's analog is its NaN/Inf batch-skip guard
+    # (FEONet_steady_Navier-Stokes/train_FEONet.py:434-469), which a finite
+    # explosion also passes. 0 = off.
+    divergence_factor: float = 1e4
+    # Track the best-validation state (EMA-aware) across evals; fit() leaves
+    # the trainer AT the best state when the final eval is worse, and
+    # save_checkpoint writes a 'best' checkpoint alongside the step ones.
+    # Rank by the val traj_rel_l2 / coeff rel-L2 when a val set is present,
+    # else by train loss. Prevents a whole run's best mid-run result being lost to a
+    # late spike (three round-2 ledger rows lost theirs).
+    track_best: bool = True
 
 
 @dataclasses.dataclass
@@ -232,6 +248,9 @@ class Trainer:
         self._eval_forward = jax.jit(self._eval_forward_impl)
 
         self.history: list[dict] = []
+        # best-validation snapshot (track_best): {'metric', 'epoch', 'params',
+        # 'batch_stats', 'ema_params'} — device copies, shardings preserved
+        self.best: dict | None = None
 
     def _place_state(self, state: TrainState, init_opt: bool = False) -> TrainState:
         """Place a TrainState for the tensor-parallel mesh: params with the
@@ -411,6 +430,50 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    # best-state tracking (track_best)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _best_metric(rec: dict) -> float:
+        """Ranking metric for best-state tracking: the validation rel-L2
+        when present (coeff for steady, trajectory for timedep), else the
+        train loss."""
+        for k in ("traj_rel_l2", "coeff"):
+            if k in rec:
+                return rec[k]
+        return rec["loss"]
+
+    def _maybe_snapshot_best(self, rec: dict, epoch: int) -> None:
+        m = self._best_metric(rec)
+        if not np.isfinite(m):
+            return
+        if self.best is None or m < self.best["metric"]:
+            s = self.state
+            self.best = {
+                "metric": float(m),
+                "epoch": epoch,
+                "params": jax.tree.map(jnp.array, s.params),
+                "batch_stats": jax.tree.map(jnp.array, s.batch_stats),
+                "ema_params": (jax.tree.map(jnp.array, s.ema_params)
+                               if s.ema_params is not None else None),
+            }
+
+    def restore_best(self) -> bool:
+        """Swap the best-tracked params (and batch_stats/EMA) back into the
+        live state. Optimizer state is left as-is — restore is for
+        eval/checkpoint/deployment, not for continuing the same run."""
+        if self.best is None:
+            return False
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.array, self.best["params"]),
+            batch_stats=jax.tree.map(jnp.array, self.best["batch_stats"]),
+            ema_params=(jax.tree.map(jnp.array, self.best["ema_params"])
+                        if self.best["ema_params"] is not None else
+                        self.state.ema_params),
+        )
+        return True
+
+    # ------------------------------------------------------------------
     # training loop
     # ------------------------------------------------------------------
 
@@ -474,6 +537,8 @@ class Trainer:
         window_t0 = time.time()
         log_f = open(c.log_path, "a") if c.log_path else None
         nan_streak = 0
+        loss_min = np.inf  # running min of the eval-window loss (divergence guard)
+        last_metric = np.inf
         tracing = False
         try:
             for epoch in range(1, epochs + 1):
@@ -532,6 +597,9 @@ class Trainer:
                     }
                     if val_ds is not None:
                         rec.update(self.evaluate(val_ds))
+                    if c.track_best:
+                        self._maybe_snapshot_best(rec, epoch)
+                        last_metric = self._best_metric(rec)
                     self.history.append(rec)
                     if log_f:
                         log_f.write(json.dumps(rec) + "\n")
@@ -548,11 +616,67 @@ class Trainer:
                     if c.ckpt_dir and (epoch % ck == 0 or epoch == epochs):
                         self.save_checkpoint(c.ckpt_dir)
                     window_t0 = time.time()
+                    # loss-explosion abort: a FINITE blow-up passes the
+                    # isfinite nan_guard; stop the run instead of burning
+                    # the remaining budget (runs/r2c/ns450_hysplit6k hit
+                    # 6e24 before epoch 4000 and trained on for 26k more)
+                    if np.isfinite(loss_v):
+                        loss_min = min(loss_min, loss_v)
+                        if (c.divergence_factor > 0
+                                and np.isfinite(loss_min)
+                                and loss_v > c.divergence_factor
+                                * max(loss_min, 1e-30)):
+                            restored = self.restore_best()
+                            rec_d = {
+                                "diverged": epoch,
+                                "loss": loss_v,
+                                "loss_min": loss_min,
+                                "restored_best": restored,
+                                **({"best_epoch": self.best["epoch"],
+                                    "best_metric": self.best["metric"]}
+                                   if restored else {}),
+                            }
+                            self.history.append(rec_d)
+                            if log_f:
+                                log_f.write(json.dumps(rec_d) + "\n")
+                                log_f.flush()
+                            if verbose:
+                                print(
+                                    f"DIVERGED at epoch {epoch}: loss "
+                                    f"{loss_v:.3e} > {c.divergence_factor:g}x "
+                                    f"running min {loss_min:.3e}"
+                                    + (f"; restored best state from epoch "
+                                       f"{self.best['epoch']}" if restored
+                                       else "")
+                                )
+                            if c.ckpt_dir and restored:
+                                self.save_checkpoint(c.ckpt_dir, tag="best")
+                            last_metric = -np.inf  # already restored
+                            break
         finally:
             if tracing:
                 jax.profiler.stop_trace()
             if log_f:
                 log_f.close()
+        # leave the trainer AT its best-tracked state when the run ended
+        # worse than its best eval (spikes/overfit no longer lose results)
+        if (c.track_best and self.best is not None
+                and self.best["metric"] < last_metric):
+            self.restore_best()
+            rec_b = {
+                "restored_best": True,
+                "best_epoch": self.best["epoch"],
+                "best_metric": self.best["metric"],
+            }
+            self.history.append(rec_b)
+            if c.log_path:
+                with open(c.log_path, "a") as f:
+                    f.write(json.dumps(rec_b) + "\n")
+            if verbose:
+                print(f"restored best state (epoch {self.best['epoch']}, "
+                      f"metric {self.best['metric']:.4e})")
+            if c.ckpt_dir:
+                self.save_checkpoint(c.ckpt_dir, tag="best")
         if c.cascade_epochs > 0:
             self.cascade(train_ds, val_ds, c.cascade_epochs, verbose=verbose)
         return self.history
@@ -650,11 +774,12 @@ class Trainer:
     # checkpointing (orbax)
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, ckpt_dir: str) -> str:
+    def save_checkpoint(self, ckpt_dir: str, tag: str | None = None) -> str:
         import orbax.checkpoint as ocp
         from flax import serialization
 
-        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(self.state.step)}"))
+        name = tag if tag is not None else f"step_{int(self.state.step)}"
+        path = os.path.abspath(os.path.join(ckpt_dir, name))
         tree = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),

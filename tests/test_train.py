@@ -449,3 +449,86 @@ def test_correction_penalty_adds_exact_term(small_square):
     train_ds, val_ds = tr1b.make_datasets()
     hist = tr1b.fit(train_ds, val_ds, verbose=False)
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_divergence_guard_aborts_and_restores(small_square):
+    """Loss-explosion abort (trainer.py divergence_factor): a FINITE loss
+    blow-up — which passes the isfinite nan_guard — must stop the run at the
+    next eval window and restore the best-tracked state. The explosion is
+    injected deterministically by wrapping the train step (the real-world
+    trigger, runs/r2c/ns450_hysplit6k's 6e24 split-hybrid blow-up, needs
+    hours to reproduce)."""
+    tc = TrainConfig(
+        model="FCNN", lr=1e-3, epochs=100, num_train=16, num_val=8,
+        eval_every=20, data_parallel=False, divergence_factor=1e4,
+        model_kwargs={"hidden_dims": (16,)},
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+
+    orig = tr._train_step
+    calls = {"n": 0}
+
+    def exploding_step(state, batch, rng, ops, res_batch=None):
+        state, loss = orig(state, batch, rng, ops, res_batch)
+        calls["n"] += 1
+        if calls["n"] > 30:
+            loss = loss * 0 + 1e24  # finite — passes isfinite
+        return state, loss
+
+    tr._train_step = exploding_step
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    div = [h for h in hist if "diverged" in h]
+    assert div, "divergence guard never tripped"
+    assert div[0]["restored_best"]
+    assert div[0]["diverged"] == 40  # first eval window after the blow-up
+    assert calls["n"] <= 45  # stopped right there, not at the full budget
+    # the live params ARE the best snapshot again
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(tr.state.params)),
+        jax.tree.leaves(jax.device_get(tr.best["params"])),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_track_best_restores_at_end(small_square):
+    """track_best: when the final eval is worse than the best mid-run eval,
+    fit() leaves the trainer at the best state (and records it in history).
+    Forced by a cosine-free constant high LR that oscillates."""
+    tc = TrainConfig(
+        model="FCNN", lr=3e-2, epochs=200, num_train=16, num_val=8,
+        eval_every=20, data_parallel=False, divergence_factor=0.0,
+        model_kwargs={"hidden_dims": (16,)}, seed=3,
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert tr.best is not None
+    # evaluate() at the final state must equal the best-tracked metric
+    # (either the run ended at its best, or fit restored the best state)
+    out = tr.evaluate(val_ds)
+    np.testing.assert_allclose(out["coeff"], tr.best["metric"], rtol=1e-6)
+    evals = [h for h in hist if "epoch" in h]
+    if any("restored_best" in h and "epoch" not in h for h in hist):
+        # restoration happened: final eval row was worse than the best
+        assert min(e["coeff"] for e in evals) == pytest.approx(tr.best["metric"])
+
+
+def test_best_checkpoint_saved(small_square, tmp_path):
+    """When ckpt_dir is set and fit restores the best state, a 'best'
+    checkpoint exists and round-trips."""
+    tc = TrainConfig(
+        model="FCNN", lr=3e-2, epochs=200, num_train=16, num_val=8,
+        eval_every=20, data_parallel=False, ckpt_dir=str(tmp_path),
+        model_kwargs={"hidden_dims": (16,)}, seed=3,
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    restored = [h for h in hist if h.get("restored_best") and "epoch" not in h]
+    if restored:
+        assert os.path.isdir(os.path.join(str(tmp_path), "best"))
+        tr2 = Trainer(small_square, tc)
+        tr2.load_checkpoint(os.path.join(str(tmp_path), "best"))
+        out = tr2.evaluate(val_ds)
+        np.testing.assert_allclose(out["coeff"], tr.best["metric"], rtol=1e-5)

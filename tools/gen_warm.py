@@ -52,9 +52,11 @@ def main() -> int:
     ap.add_argument("--key-base", type=int, default=50000)
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
-    ap.add_argument("--equilibrate", action="store_true", default=True)
+    ap.add_argument("--equilibrate", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--precond-mode", default="exact")
-    ap.add_argument("--stokes-shift", action="store_true", default=True)
+    ap.add_argument("--stokes-shift", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--model", default="UNetWithHead")
     ap.add_argument("--model-kwargs", default="{}")
     ap.add_argument("--steps", type=int, default=12, help="max Newton steps")
@@ -88,18 +90,31 @@ def main() -> int:
     z = np.load(src, allow_pickle=True)
     base_fp = json.loads(str(z["fingerprint"]))
     data = {k: np.asarray(z[k]) for k in z.files if k != "fingerprint"}
+    if "train_truth" not in data:
+        # fresh start from a label-free base: pre-existing train_batch_*
+        # rows have no labels — keeping them would misalign loads and truth
+        # (mirrors add_train_truth.py's stale-key cleanup)
+        stale = [k for k in data if k.startswith("train_batch_")]
+        for k in stale:
+            del data[k]
+        if stale:
+            print(f"dropped {len(stale)} unlabeled train_batch_* keys from "
+                  f"the base", flush=True)
     n_have = data["train_truth"].shape[0] if "train_truth" in data else 0
-    print(f"resuming from {src}: {n_have} supervised train samples",
-          flush=True)
+    # Resume must NOT restart the PRNG stream (re-drawing keys key_base+0..
+    # appends duplicate samples): restore the persisted chunk counter, or
+    # conservatively skip past n_have//chunk keys for pre-fix caches.
+    chunk_i = int(base_fp.get("gen_warm_chunk_i", -(-n_have // args.chunk)))
+    print(f"resuming from {src}: {n_have} supervised train samples "
+          f"(chunk_i={chunk_i})", flush=True)
 
     def save(n_total: int) -> None:
-        fp = dict(base_fp, num_train=int(n_total), train_truth=True)
+        fp = dict(base_fp, num_train=int(n_total), train_truth=True,
+                  gen_warm_chunk_i=int(chunk_i))
         tmp = args.out + ".tmp.npz"
         np.savez(tmp, fingerprint=np.asarray(json.dumps(fp, sort_keys=True)),
                  **data)
         os.replace(tmp, args.out)
-
-    chunk_i = 0
     stats = {"warm_ok": 0, "cold_ok": 0, "resampled": 0}
     while n_have < args.target:
         n = min(args.chunk, args.target - n_have)

@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser(__doc__)
     ap.add_argument("--data-cache", required=True)
+    ap.add_argument("--num-train", type=int, default=0,
+                    help="use only the first N train samples from the cache "
+                         "(0 = all) — deterministic prefix slice, for data-"
+                         "scaling points from one growing gen_warm cache")
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--equilibrate", action="store_true")
@@ -84,6 +88,12 @@ def main() -> int:
 
     def _ds(prefix, need_truth):
         coeff_f = np.asarray(z[f"{prefix}_batch_coeff_f"])
+        if prefix == "train" and args.num_train:
+            if coeff_f.shape[0] < args.num_train:
+                raise SystemExit(
+                    f"cache has {coeff_f.shape[0]} train samples, "
+                    f"--num-train {args.num_train} requested")
+            coeff_f = coeff_f[: args.num_train]
         batch = {"coeff_f": jnp.asarray(coeff_f, f32)}
         # rebuild the load in THIS problem's training equation space
         batch["load"] = jnp.asarray(
@@ -93,6 +103,8 @@ def main() -> int:
         truth = z[tkey] if tkey in z.files else None
         if need_truth and truth is None:
             raise SystemExit(f"cache has no {tkey} (regenerate with hybrid)")
+        if truth is not None and prefix == "train" and args.num_train:
+            truth = truth[: args.num_train]
         return Dataset(batch, None if truth is None else jnp.asarray(truth, f32))
 
     train_ds = _ds("train", args.loss_mode != "residual")

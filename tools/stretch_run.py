@@ -149,11 +149,14 @@ def main() -> int:
 
     t0 = time.time()
     # dataset-identity fingerprint: a cache written for one (problem, mesh,
-    # bc, split sizes, loss mode's truth needs) must not be silently reused
-    # for another — mismatches surface as wrong loads / missing train truth
-    # much later, mid-training
+    # bc, loss mode's truth needs) must not be silently reused for another —
+    # mismatches surface as wrong loads / missing train truth much later,
+    # mid-training. Split SIZES are prefix-reusable: any cache with
+    # num_train >= requested serves a deterministic first-N slice (so a
+    # growing gen_warm cache needs no snapshot-before-training dance).
+    fp_core = {"problem": args.problem, "nx": args.nx, "bc": bc}
     fprint = json.dumps({
-        "problem": args.problem, "nx": args.nx, "bc": bc,
+        **fp_core,
         "num_train": args.num_train, "num_val": args.num_val,
         "train_truth": args.loss_mode != "residual",
     }, sort_keys=True)
@@ -165,21 +168,40 @@ def main() -> int:
 
         z = _np.load(args.data_cache, allow_pickle=True)
         cached_fp = str(z["fingerprint"]) if "fingerprint" in z.files else None
-        if cached_fp != fprint:
+        cached = json.loads(cached_fp) if cached_fp else {}
+        bad = [k for k, v in fp_core.items() if cached.get(k) != v]
+        if bad:
             raise SystemExit(
                 f"--data-cache {args.data_cache} was generated for a "
-                f"different config:\n  cached: {cached_fp}\n  wanted: {fprint}\n"
+                f"different config (mismatched {bad}):\n  cached: {cached_fp}"
+                f"\n  wanted: {fprint}\n"
                 "delete the cache or point --data-cache elsewhere"
             )
 
-        def _split(prefix):
-            batch = {k[len(prefix) + 7:]: jnp.asarray(z[k])
+        def _split(prefix, n_want):
+            batch = {k[len(prefix) + 7:]: jnp.asarray(z[k][:n_want])
                      for k in z.files if k.startswith(prefix + "_batch_")}
+            n_cache = next(iter(batch.values())).shape[0] if batch else 0
+            if n_cache < n_want:
+                raise SystemExit(
+                    f"--data-cache has {n_cache} {prefix} samples, "
+                    f"{n_want} requested — extend it (tools/gen_warm.py / "
+                    f"tools/extend_ns_cache.py) or lower --num-{prefix}"
+                )
             tkey = f"{prefix}_truth"
-            return Dataset(batch, z[tkey] if tkey in z.files else None)
+            truth = z[tkey][:n_want] if tkey in z.files else None
+            if (prefix == "train" and truth is None
+                    and args.loss_mode != "residual"):
+                raise SystemExit(
+                    f"--data-cache has no train_truth but loss_mode="
+                    f"{args.loss_mode!r} needs labels"
+                )
+            return Dataset(batch, truth)
 
-        train_ds, val_ds = _split("train"), _split("val")
-        print(f"loaded datasets from {args.data_cache} [{time.time()-t0:.0f}s]")
+        train_ds = _split("train", args.num_train)
+        val_ds = _split("val", args.num_val)
+        print(f"loaded datasets from {args.data_cache} "
+              f"(train {train_ds.n}, val {val_ds.n}) [{time.time()-t0:.0f}s]")
     else:
         train_ds, val_ds = trainer.make_datasets()
         print(f"datasets ready (SuperLU truth for {args.num_val} val samples) "
