@@ -71,6 +71,16 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                         "preserving residual conditioning; all problems — "
                         "for the timedep rollout this is THE label-free "
                         "pressure-conditioning path)")
+    p.add_argument("--rollout-metric", default="equation",
+                   choices=["equation", "physical"],
+                   help="timedep rollout loss metric: 'physical' measures "
+                        "the per-step SOLUTION error dc(M r̂) per component "
+                        "(requires --equilibrate + a dense preconditioner) "
+                        "— the pressure-direction fix the equation metric "
+                        "lacks")
+    p.add_argument("--p-weight", type=float, default=1.0,
+                   help="pressure-block weight in the physical rollout "
+                        "metric")
 
 
 def _build_problem(args):
@@ -99,6 +109,8 @@ def _build_problem(args):
         interp=args.interp,
         bpx_levels=args.bpx_levels,
         equilibrate=args.equilibrate,
+        rollout_metric=args.rollout_metric,
+        p_weight=args.p_weight,
     )
     return build_problem(cfg)
 
@@ -163,6 +175,8 @@ def cmd_train(args) -> int:
         truth_for_train=not args.no_train_truth,
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
+        hybrid_kind=args.hybrid_kind,
+        resample_size=args.resample_size,
         correction_penalty=args.correction_penalty,
         ema_decay=args.ema_decay,
         cascade_epochs=args.cascade_epochs,
@@ -383,7 +397,8 @@ def main(argv=None) -> int:
     t.add_argument("--optimizer", default="adam")
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--lr-schedule", default="constant",
-                   choices=["constant", "cosine", "exponential"])
+                   choices=["constant", "cosine", "exponential",
+                            "warmup_cosine"])
     t.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
     t.add_argument("--epochs", type=int, default=80000)
@@ -406,6 +421,13 @@ def main(argv=None) -> int:
                         "supervised = MSE vs solver ground truth; hybrid = both")
     t.add_argument("--residual-weight", type=float, default=1.0,
                    help="residual term weight for --loss-mode hybrid")
+    t.add_argument("--hybrid-kind", default="galerkin",
+                   choices=["galerkin", "linearized"],
+                   help="hybrid physics term: the raw Galerkin residual, or "
+                        "the residual linearized about the label (steady_ns; "
+                        "convex, root-unambiguous)")
+    t.add_argument("--resample-size", type=int, default=0,
+                   help="fresh-batch size for split hybrid (0 = train size)")
     t.add_argument("--correction-penalty", type=float, default=0.0,
                    help="penalize the raw output norm (label-free root "
                         "selection for the nonlinear problems; pair with "

@@ -175,6 +175,22 @@ class ProblemConfig:
     # dt·A, so the raw label-free residual under-weights pressure by dt²
     # (cond 3.5e5 → ~90 at ne=200, dt=0.01).
     equilibrate: bool = False
+    # Rollout-loss metric (timedep problems with a dense preconditioner):
+    # 'equation' — ||r̂_t||², the standard residual metric. Even exactly
+    #   preconditioned this measures ||dr (S+dt·A) e_u||: column transforms
+    #   cancel in any right-preconditioned residual, and in (S + dt·A)
+    #   pressure enters only through dt·A — so the objective under-weights
+    #   the pressure ERROR DIRECTIONS (round-2 timedep_push floor: u1
+    #   0.00098 vs p 0.0230, runs/r2/RESULTS.md).
+    # 'physical' — ||W ∘ (dc∘(M r̂_t))||². With the exact inverse M,
+    #   dc∘(M r̂) = (S+dt·A)^{-1} dr^{-1} r̂ IS the physical per-step error,
+    #   so the label-free loss measures e_u per component directly, and
+    #   p_weight boosts the pressure block of W. Requires equilibrate +
+    #   precond (exact mode recommended; SPAI gives an approximate error).
+    rollout_metric: str = "equation"
+    # Pressure-block weight in the 'physical' rollout metric (W = 1 on the
+    # velocity blocks, p_weight on the p block).
+    p_weight: float = 1.0
     # BPX-congruence conditioning of the label-free residual objective
     # (linalg/bpx.py): >0 = number of nested mesh levels. The network emits
     # m ~ 1.4*ng coefficients w; training solves the O(1)-conditioned
@@ -304,6 +320,18 @@ class Problem:
         if c.ns_branch not in ("stable", "newton"):
             raise ValueError(f"ns_branch must be 'stable' or 'newton', "
                              f"got {c.ns_branch!r}")
+        if c.rollout_metric not in ("equation", "physical"):
+            raise ValueError(f"rollout_metric must be 'equation' or "
+                             f"'physical', got {c.rollout_metric!r}")
+        if c.rollout_metric == "physical" and not (
+            c.name in _TIMEDEP and c.equilibrate
+            and (c.precond_iters > 0 or c.precond_mode == "exact")
+        ):
+            raise ValueError(
+                "rollout_metric='physical' needs a timedep problem with "
+                "equilibrate=True and a dense preconditioner (the physical "
+                "error is dc∘(M r̂))"
+            )
         if c.stokes_shift and not (
             c.name == "steady_ns"
             and (c.precond_iters > 0 or c.precond_mode == "exact")
@@ -678,12 +706,24 @@ class Problem:
             v = getattr(self, name)
             if v is not None:
                 ops[name] = v
+        if self.config.name == "steady_ns":
+            # the RAW BC-applied system for the linearized-about-label loss
+            # (residual/losses.py:ns_linearized_residual); under BSR the
+            # training operator IS the raw system unless equilibrated
+            if self.A is not None:
+                ops["A_raw"] = self.A
+            elif self.equil64 is None:
+                ops["A_raw"] = self.op_train
         if self.config.name in _TIMEDEP:
             ops["load_const"] = self.load_const
             if self.equil64 is not None:
                 # the rollout loss consumes the dr-scaled equation space
                 ops["S"] = self.S_train
                 ops["load_const"] = self.load_const_train
+            if self.config.rollout_metric == "physical":
+                w = np.ones(self.ng)
+                w[2 * self.n2 :] = self.config.p_weight
+                ops["phys_w"] = jnp.asarray(w, dtype=self.config.dtype)
         return ops
 
     def loss(self, pred: Array, batch: dict[str, Array], ops: dict | None = None) -> Array:
@@ -735,6 +775,7 @@ class Problem:
                 pred, ops["S"], ops["op_train"], load, c.dt,
                 u_init, precond=ops.get("precond"),
                 equil_dc=ops.get("equil_dc"),
+                phys_weight=ops.get("phys_w"),
             )
         if c.name == "timedep_ns":
             if "u0_prev" in batch:  # cascade stage 2 (exact expansion)
@@ -758,8 +799,33 @@ class Problem:
                 precond=ops.get("precond"),
                 equil_dc=ops.get("equil_dc"), equil_dr=ops.get("equil_dr"),
                 conv_scale=ops.get("conv_gamma", 1.0),
+                phys_weight=ops.get("phys_w"),
             )
         return linear_residual(pred, ops["op_train"], batch["load"])
+
+    def linearized_loss(
+        self, pred_u: Array, truth_u: Array, ops: dict | None = None
+    ) -> Array:
+        """|| dr ∘ J(u*) (pred_u - u*) ||² — the steady-NS residual
+        linearized about the label (TrainConfig.hybrid_kind='linearized').
+        Both arguments in SOLUTION coordinates."""
+        c = self.config
+        if c.name != "steady_ns":
+            raise ValueError(f"linearized_loss requires steady_ns, got {c.name!r}")
+        if ops is None:
+            ops = self.device_ops
+        if "A_raw" not in ops:
+            raise ValueError(
+                "linearized_loss needs the raw system in ops['A_raw'] "
+                "(unavailable for op_format='bsr' with equilibrate=True)"
+            )
+        from ..residual.losses import ns_linearized_residual
+
+        return ns_linearized_residual(
+            pred_u, truth_u, ops["A_raw"], ops["B1"], ops["B2"], self.n2,
+            conv_row_mask=ops.get("conv_row_mask"),
+            equil_dr=ops.get("equil_dr"),
+        )
 
     def defect_batch64(
         self, batch: dict[str, Array], pred: Array

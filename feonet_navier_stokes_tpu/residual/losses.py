@@ -222,6 +222,52 @@ def nonlinear_defect_residual(
     return sum_of_squares(resid)
 
 
+def ns_linearized_residual(
+    pred_u: Array,
+    truth_u: Array,
+    A_raw,
+    B1,
+    B2,
+    n2: int,
+    conv_row_mask: Array | None = None,
+    equil_dr: Array | None = None,
+) -> Array:
+    """Steady-NS residual linearized about the LABEL — the convex,
+    root-unambiguous physics term for label-ANCHORED (hybrid) training:
+
+        || dr ∘ J(u*) (u - u*) ||²,   J(u*) v = A v + keep∘(d(u*)∘Bv + d(v)∘Bu*)
+
+    Because u* is a root of the nonlinear system (r(u*) = 0), this equals
+    the true residual of u up to O(|u - u*|²) — but unlike the raw Galerkin
+    residual it has EXACTLY ONE minimizer (u = u*), so it cannot pull the
+    network toward spurious roots (the failure mode measured in
+    runs/r2/RESULTS.md ns450_shift_rs: residual 1.3e-6 with coeff error
+    0.77) nor destabilize a supervised anchor the way the resampled raw
+    residual did (ns450_hysplit6k's finite 6e24 blow-up). Relative to plain
+    supervised MSE it reweights the error by the J-metric: components that
+    matter for the PDE (e.g. the pressure rows, which MSE under-weights by
+    the coefficient-scale imbalance) are penalized at their physical weight.
+
+    All arguments live in SOLUTION coordinates: pred_u = unmap(out),
+    truth_u = the stable-branch label; A_raw is the BC-applied raw system
+    (dense or BSR pair), NOT the preconditioned/equilibrated training
+    operator. equil_dr row-scales the residual like the Galerkin losses.
+    """
+    v = pred_u - truth_u
+    d1s, d2s = _diag_pair(truth_u, n2)
+    d1v, d2v = _diag_pair(v, n2)
+    cross = (
+        d1s * _apply_op(v, B1) + d1v * _apply_op(truth_u, B1)
+        + d2s * _apply_op(v, B2) + d2v * _apply_op(truth_u, B2)
+    )
+    if conv_row_mask is not None:
+        cross = cross * (1.0 - conv_row_mask)
+    r = _apply_op(v, A_raw) + cross
+    if equil_dr is not None:
+        r = r * equil_dr
+    return sum_of_squares(r)
+
+
 def rollout_residual(
     pred_seq: Array,
     S: Array,
@@ -231,6 +277,7 @@ def rollout_residual(
     u_init: Array,
     precond: Array | None = None,
     equil_dc: Array | None = None,
+    phys_weight: Array | None = None,
 ) -> Array:
     """Time-dependent Stokes rollout loss.
 
@@ -277,7 +324,19 @@ def rollout_residual(
             load, pred_seq.shape[:1] + load.shape[-1:]
         )[:, None, :]
     rhs = _apply_op(prev, S) + f_term
-    per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
+    resid = lhs - rhs
+    if phys_weight is not None:
+        # PHYSICAL-error metric (ProblemConfig.rollout_metric='physical'):
+        # dc∘(M r̂) = (S+dt·A)^{-1} dr^{-1} r̂ is the per-step solution error
+        # itself (exact with precond_mode='exact'), so the loss measures
+        # ||W ∘ e_u||² per component instead of the equation-space
+        # ||dr(S+dt·A)e_u||², which under-weights pressure directions by
+        # the dt·A factor. Still label-free.
+        resid = _mm(resid, precond.T)
+        if equil_dc is not None:
+            resid = resid * equil_dc
+        resid = resid * phys_weight
+    per_t = jnp.sum(jnp.square(resid), axis=(0, 2))
     return jnp.mean(per_t)
 
 
@@ -350,6 +409,7 @@ def rollout_ns_residual(
     equil_dc: Array | None = None,
     equil_dr: Array | None = None,
     conv_scale: Array | float = 1.0,
+    phys_weight: Array | None = None,
 ) -> Array:
     """Semi-implicit Navier-Stokes rollout loss (stretch capability — no
     reference counterpart; scheme matches linalg.solvers.
@@ -376,5 +436,13 @@ def rollout_ns_residual(
     rhs = _apply_op(prev, S) + dt * (
         jnp.broadcast_to(load, pred_seq.shape[:1] + load.shape[-1:])[:, None, :] - conv
     )
-    per_t = jnp.sum(jnp.square(lhs - rhs), axis=(0, 2))
+    resid = lhs - rhs
+    if phys_weight is not None:
+        # physical-error metric — see rollout_residual (the inverse is of
+        # the linear implicit part; the lagged convection sits on the RHS)
+        resid = _mm(resid, precond.T)
+        if equil_dc is not None:
+            resid = resid * equil_dc
+        resid = resid * phys_weight
+    per_t = jnp.sum(jnp.square(resid), axis=(0, 2))
     return jnp.mean(per_t)

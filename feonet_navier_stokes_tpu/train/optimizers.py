@@ -11,7 +11,7 @@ from __future__ import annotations
 import optax
 
 OPTIMIZERS = ("adam", "adamw", "sgd", "adagrad", "lbfgs")
-SCHEDULES = ("constant", "cosine", "exponential")
+SCHEDULES = ("constant", "cosine", "exponential", "warmup_cosine")
 
 
 def build_schedule(
@@ -30,6 +30,15 @@ def build_schedule(
         return lr
     if schedule == "cosine":
         return optax.cosine_decay_schedule(lr, total_steps, alpha=final_fraction)
+    if schedule == "warmup_cosine":
+        # linear 0->lr over the first 2% of the budget, then cosine to
+        # final_fraction*lr — tames the early full-batch loss spikes that
+        # burned 2/3 of the round-2 ns450_unet6k budget (its loss hit 160
+        # at cosine-peak lr before the late-decay descent)
+        warmup = max(1, total_steps // 50)
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, total_steps, end_value=final_fraction * lr
+        )
     if schedule == "exponential":
         return optax.exponential_decay(
             lr, total_steps, final_fraction, staircase=False

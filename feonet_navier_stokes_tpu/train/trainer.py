@@ -98,6 +98,17 @@ class TrainConfig:
     # 'hybrid'    — supervised + residual_weight * residual.
     loss_mode: str = "residual"
     residual_weight: float = 1.0  # residual term weight in 'hybrid'
+    # Which physics term 'hybrid' adds to the supervised anchor:
+    # 'galerkin'   — the raw nonlinear Galerkin residual (every root of the
+    #                system is a minimizer; can destabilize the anchor —
+    #                runs/r2c/ns450_hysplit6k diverged finitely at rw=1e-3).
+    # 'linearized' — the residual linearized about the LABEL,
+    #                ||dr∘J(u*)(pred-u*)||² (steady_ns only): convex with
+    #                u* its unique minimizer, so it reweights the supervised
+    #                metric by the PDE's own J-norm without root ambiguity
+    #                (residual/losses.py:ns_linearized_residual). Exclusive
+    #                of resample_every (it needs labels).
+    hybrid_kind: str = "galerkin"
     # Exponential moving average of the params (Polyak averaging). 0 = off.
     # Evaluation/checkpoints use the EMA params when enabled — full-batch
     # residual training oscillates around the minimum at constant lr, and
@@ -187,6 +198,9 @@ class Trainer:
         )
         self.tx = build_optimizer(c.optimizer, schedule, grad_clip=c.grad_clip)
         self.is_lbfgs = c.optimizer.lower() == "lbfgs"
+        if c.hybrid_kind not in ("galerkin", "linearized"):
+            raise ValueError(f"hybrid_kind must be 'galerkin' or "
+                             f"'linearized', got {c.hybrid_kind!r}")
         if problem.config.stokes_shift and c.cascade_epochs > 0:
             # the stage-2 trainer would shift the defect net's output by the
             # batch rhs a second time
@@ -332,7 +346,9 @@ class Trainer:
         if mode == "supervised":
             return sup + pen, new_bs
         if mode == "hybrid":
-            if res_batch is not None:
+            if self.config.hybrid_kind == "linearized":
+                res = self.problem.linearized_loss(pred, batch["truth"], ops)
+            elif res_batch is not None:
                 # split hybrid: the residual term is evaluated on a FRESH
                 # unlabeled batch (resample_every) — the supervised anchor
                 # pins the stable branch on the fixed labeled set while the
@@ -505,6 +521,9 @@ class Trainer:
         # 'hybrid': fresh UNLABELED batches feed only the residual term
         #           (split hybrid) — supervised anchor stays fixed.
         split_hybrid = c.resample_every > 0 and c.loss_mode == "hybrid"
+        if split_hybrid and c.hybrid_kind == "linearized":
+            raise ValueError("hybrid_kind='linearized' needs labels; it is "
+                             "exclusive of resample_every")
         if c.resample_every > 0 and c.loss_mode == "supervised":
             raise ValueError(
                 "resample_every needs a label-free residual term "

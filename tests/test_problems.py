@@ -156,3 +156,42 @@ def test_spai_precond_improves_training_operator():
 
     c = condition_number(p.op_train.astype(jnp.float64))
     assert c < 10.0  # raw cond is 167.33
+
+
+def test_rollout_physical_metric_measures_solution_error():
+    """rollout_metric='physical': with Ruiz + exact inverse, the rollout
+    loss equals ||W ∘ e_u||² per step — dc∘(M r̂) is the physical per-step
+    error. Verified by injecting a known physical error at T=1 and checking
+    the loss reproduces it (p_weight scales only the p block)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    kw = dict(name="timedep_stokes", bc="lower", nx=4, forcing="five",
+              seq_len=1, equilibrate=True, precond_mode="exact")
+    p = build_problem(ProblemConfig(**kw, rollout_metric="physical",
+                                    p_weight=7.0))
+    batch = p.sample_batch(jax.random.PRNGKey(0), 2)
+    truth = p.ground_truth(batch, n_steps=1)  # (B, 2, ng), u0 at t=0
+
+    rng = np.random.default_rng(3)
+    delta = 1e-3 * rng.standard_normal((2, p.ng))
+    u_pert = truth[:, 1] + delta
+    # training coordinates: û = M^{-1}(u/dc) = dr (S+dt·A) u
+    dr, dc = p.equil64
+    sys64 = p.sys64
+    u_hat = (sys64 @ u_pert.T).T * dr
+    pred = jnp.asarray(u_hat, jnp.float32)[:, None, :]
+
+    loss = float(p.loss(pred, batch))
+    w = np.ones(p.ng); w[2 * p.n2:] = 7.0
+    expected = float(np.sum((w * delta) ** 2))  # mean over T=1 step
+    np.testing.assert_allclose(loss, expected, rtol=2e-2)
+
+    # validation: physical metric without equil/precond is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="physical"):
+        build_problem(ProblemConfig(
+            name="timedep_stokes", bc="lower", nx=4, forcing="five",
+            seq_len=1, rollout_metric="physical"))

@@ -288,3 +288,70 @@ def test_conv_scale_continuation():
     train_ds, val_ds = tr.make_datasets(with_truth=False)
     hist = tr.fit(train_ds, None, verbose=False)
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_ns_linearized_residual_matches_taylor():
+    """ns_linearized_residual == the first-order Taylor expansion of the true
+    steady-NS Galerkin residual about the label: for u = u* + eps*v with u*
+    a root (rel_res <= 1e-9), ||r(u)||^2 / linearized -> 1 as eps -> 0, and
+    the term vanishes exactly at the label."""
+    import jax
+    import numpy as np
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.residual.losses import (
+        ns_linearized_residual, nonlinear_residual)
+
+    # ns_truth='group': the label must be a root of the SAME (group-FEM)
+    # system the loss linearizes — the default weak-form truth carries the
+    # reference's own ~1.7e-3 quadrature floor in this system (SURVEY.md §4)
+    p = build_problem(ProblemConfig(name="steady_ns", bc="lower", nx=4,
+                                    ns_truth="group"))
+    batch, truth = p.sample_converged(jax.random.PRNGKey(0), 3)
+    ops = p.device_ops
+    truth32 = jnp.asarray(truth, jnp.float32)
+
+    # exact at the label
+    z = ns_linearized_residual(
+        truth32, truth32, ops["A_raw"], ops["B1"], ops["B2"], p.n2,
+        conv_row_mask=ops.get("conv_row_mask"))
+    assert float(z) == 0.0
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(truth.shape)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ratios = []
+    for eps in (1e-2, 1e-3):
+        pred = jnp.asarray(truth + eps * v, jnp.float32)
+        lin = float(ns_linearized_residual(
+            pred, truth32, ops["A_raw"], ops["B1"], ops["B2"], p.n2,
+            conv_row_mask=ops.get("conv_row_mask")))
+        # true residual loss of the perturbed state (raw coordinates)
+        full = float(nonlinear_residual(
+            pred, ops["op_train"], batch["load"], ops["B1"], ops["B2"],
+            p.n2, conv_row_mask=ops.get("conv_row_mask")))
+        ratios.append(full / lin)
+    assert abs(ratios[0] - 1.0) < 0.05, ratios   # O(eps) agreement
+    assert abs(ratios[1] - 1.0) < 0.05, ratios
+
+
+def test_ns_linearized_equilibrated_row_scale():
+    """With equilibrate=True the linearized term row-scales by dr, matching
+    the Galerkin losses' equation space (problems/base.py:linearized_loss)."""
+    import jax
+    import numpy as np
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    p = build_problem(ProblemConfig(name="steady_ns", bc="lower", nx=4,
+                                    equilibrate=True))
+    batch, truth = p.sample_converged(jax.random.PRNGKey(0), 2)
+    ops = p.device_ops
+    truth32 = jnp.asarray(truth, jnp.float32)
+    pred = truth32 + 1e-3
+    lin = float(p.linearized_loss(pred, truth32, ops))
+    assert np.isfinite(lin) and lin > 0
+    # manual: dr ∘ (A v + conv'(u*) v) with v = 1e-3
+    from feonet_navier_stokes_tpu.residual.losses import ns_linearized_residual
+    manual = float(ns_linearized_residual(
+        pred, truth32, ops["A_raw"], ops["B1"], ops["B2"], p.n2,
+        conv_row_mask=ops.get("conv_row_mask"), equil_dr=ops.get("equil_dr")))
+    np.testing.assert_allclose(lin, manual, rtol=1e-6)

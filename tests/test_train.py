@@ -532,3 +532,33 @@ def test_best_checkpoint_saved(small_square, tmp_path):
         tr2.load_checkpoint(os.path.join(str(tmp_path), "best"))
         out = tr2.evaluate(val_ds)
         np.testing.assert_allclose(out["coeff"], tr.best["metric"], rtol=1e-5)
+
+
+def test_hybrid_linearized_trains():
+    """hybrid_kind='linearized': supervised anchor + the residual linearized
+    about the label (convex, root-unambiguous). Trains on steady_ns, reduces
+    loss; exclusive of resample_every; rejected on non-NS problems."""
+    p = build_problem(ProblemConfig(name="steady_ns", bc="lower", nx=4,
+                                    equilibrate=True, precond_mode="exact",
+                                    stokes_shift=True))
+    tc = TrainConfig(
+        model="FCNN", lr=2e-3, epochs=100, num_train=8, num_val=4,
+        eval_every=50, data_parallel=False, loss_mode="hybrid",
+        hybrid_kind="linearized", residual_weight=1e-3,
+        lr_schedule="warmup_cosine",
+        model_kwargs={"hidden_dims": (16,)},
+    )
+    tr = Trainer(p, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    evals = [h for h in hist if "epoch" in h]
+    assert evals[-1]["loss"] < evals[0]["loss"]
+    assert np.isfinite(evals[-1]["coeff"])
+
+    import dataclasses as _dc
+    with pytest.raises(ValueError, match="exclusive of resample_every"):
+        tr2 = Trainer(p, _dc.replace(tc, resample_every=10))
+        ds2 = train_ds
+        tr2.fit(ds2, None, verbose=False)
+    with pytest.raises(ValueError, match="hybrid_kind"):
+        Trainer(p, _dc.replace(tc, hybrid_kind="bogus"))

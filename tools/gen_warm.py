@@ -57,6 +57,11 @@ def main() -> int:
     ap.add_argument("--precond-mode", default="exact")
     ap.add_argument("--stokes-shift", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--op-format", default="dense", choices=["dense", "bsr"],
+                    help="bsr: the ~50k-DoF stretch path (sparse CSR-Jacobian "
+                         "refine + sparse cold fallback); forces equilibrate/"
+                         "stokes-shift off and precond off (a dense inverse "
+                         "is impossible at that scale)")
     ap.add_argument("--model", default="UNetWithHead")
     ap.add_argument("--model-kwargs", default="{}")
     ap.add_argument("--steps", type=int, default=12, help="max Newton steps")
@@ -74,11 +79,18 @@ def main() -> int:
     from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
 
     t0 = time.time()
-    p = build_problem(ProblemConfig(
-        name="steady_ns", bc=args.bc, nx=args.nx, ns_branch="stable",
-        equilibrate=args.equilibrate, precond_mode=args.precond_mode,
-        stokes_shift=args.stokes_shift,
-    ))
+    if args.op_format == "bsr":
+        pc = ProblemConfig(
+            name="steady_ns", bc=args.bc, nx=args.nx, ns_branch="stable",
+            op_format="bsr",
+        )
+    else:
+        pc = ProblemConfig(
+            name="steady_ns", bc=args.bc, nx=args.nx, ns_branch="stable",
+            equilibrate=args.equilibrate, precond_mode=args.precond_mode,
+            stokes_shift=args.stokes_shift,
+        )
+    p = build_problem(pc)
     tc = TrainConfig(model=args.model,
                      model_kwargs=json.loads(args.model_kwargs),
                      loss_mode="supervised", num_val=1)

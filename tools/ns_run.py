@@ -43,6 +43,16 @@ def main() -> int:
     ap.add_argument("--loss-mode", default="residual",
                     choices=["residual", "supervised", "hybrid"])
     ap.add_argument("--residual-weight", type=float, default=1e-4)
+    ap.add_argument("--hybrid-kind", default="galerkin",
+                    choices=["galerkin", "linearized"],
+                    help="linearized: the residual linearized about the "
+                         "label — convex, root-unambiguous (VERDICT r2 "
+                         "item 1 lever b)")
+    ap.add_argument("--bpx-levels", type=int, default=0,
+                    help="BPX-congruence parameterization: network emits "
+                         "w-coordinates, u = G w + u_bc (exact BCs); with "
+                         "--loss-mode supervised this is lever (a) — "
+                         "supervised training in O(1)-conditioned coords")
     ap.add_argument("--model", default="Net2D")
     ap.add_argument("--model-kwargs", default='{"filters": 16}')
     ap.add_argument("--epochs", type=int, default=40000)
@@ -78,7 +88,7 @@ def main() -> int:
         name="steady_ns", bc=args.bc, nx=args.nx,
         equilibrate=args.equilibrate, precond_iters=args.precond,
         precond_mode=args.precond_mode, ns_branch=args.ns_branch,
-        stokes_shift=args.stokes_shift,
+        stokes_shift=args.stokes_shift, bpx_levels=args.bpx_levels,
     ))
     print(f"ng={p.ng} equilibrate={args.equilibrate} "
           f"precond={args.precond} [{time.time()-t0:.0f}s]", flush=True)
@@ -125,6 +135,7 @@ def main() -> int:
         eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,
         log_path=args.log, loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
+        hybrid_kind=args.hybrid_kind,
         correction_penalty=args.correction_penalty,
     )
     trainer = Trainer(p, tc)
