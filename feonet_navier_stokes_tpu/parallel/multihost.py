@@ -86,8 +86,8 @@ def _worker(process_id: int, num_processes: int, port: int) -> None:
         ),
     )
     mesh = data_mesh()  # spans ALL processes' devices
-    batch = problem.sample_batch(jax.random.PRNGKey(0), 2 * n_global)
-    batch = global_batch(batch, mesh)
+    raw_batch = problem.sample_batch(jax.random.PRNGKey(0), 2 * n_global)
+    batch = global_batch(raw_batch, mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
@@ -98,9 +98,35 @@ def _worker(process_id: int, num_processes: int, port: int) -> None:
     assert jnp.isfinite(loss), loss
     print(
         f"multihost worker {process_id}/{num_processes}: "
-        f"global devices={n_global} train step OK, loss={loss:.6e}",
+        f"global devices={n_global} DP train step OK, loss={loss:.6e}",
         flush=True,
     )
+
+    # TP variant: 2-D (data, model) mesh spanning processes — the head
+    # all-reduce crosses the process boundary (device order keeps each
+    # host's devices contiguous, so 'model' stays intra-host when
+    # n_local % 2 == 0, the ICI-inner/DCN-outer layout)
+    if n_global % 2 == 0:
+        tp_trainer = Trainer(
+            problem,
+            TrainConfig(
+                model="Net2D", num_train=2 * n_global, num_val=2,
+                model_axis=2, model_kwargs={"filters": 4},
+            ),
+        )
+        kernel_spec = tp_trainer.state.params["Dense_0"]["kernel"].sharding.spec
+        assert kernel_spec[0] == "model", kernel_spec
+        tp_batch = global_batch(raw_batch, tp_trainer.mesh)
+        _, tp_loss = tp_trainer._train_step(
+            tp_trainer.state, tp_batch, jax.random.PRNGKey(2), tp_trainer.ops
+        )
+        tp_loss = float(jax.block_until_ready(tp_loss))
+        assert jnp.isfinite(tp_loss), tp_loss
+        print(
+            f"multihost worker {process_id}/{num_processes}: "
+            f"global devices={n_global} TP train step OK, loss={tp_loss:.6e}",
+            flush=True,
+        )
 
 
 def dryrun_multihost(
@@ -148,8 +174,15 @@ def dryrun_multihost(
         line for out in outs for line in out.splitlines()
         if line.startswith("multihost worker")
     ]
-    losses = {line.split("loss=")[1] for line in lines}
-    assert len(losses) == 1, f"processes disagree on the global loss: {lines}"
+    # every process must report the SAME loss per layout (DP and TP lines)
+    for kind in ("DP", "TP"):
+        kind_lines = [l for l in lines if f"{kind} train step" in l]
+        losses = {l.split("loss=")[1] for l in kind_lines}
+        assert len(losses) <= 1, (
+            f"processes disagree on the global {kind} loss: {kind_lines}"
+        )
+        if kind == "DP":
+            assert kind_lines, f"no DP lines in worker output: {lines}"
     for line in lines:
         print(line)
     return lines

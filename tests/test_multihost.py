@@ -11,7 +11,11 @@ def test_two_process_dryrun():
     from feonet_navier_stokes_tpu.parallel import dryrun_multihost
 
     lines = dryrun_multihost(2)
-    assert len(lines) == 2
-    # both processes computed the identical global loss
-    losses = {line.split("loss=")[1] for line in lines}
-    assert len(losses) == 1
+    # 2 processes x (DP + TP) layouts
+    assert len(lines) == 4, lines
+    for kind in ("DP", "TP"):
+        kind_lines = [l for l in lines if f"{kind} train step" in l]
+        assert len(kind_lines) == 2, lines
+        # both processes computed the identical global loss
+        losses = {line.split("loss=")[1] for line in kind_lines}
+        assert len(losses) == 1, kind_lines
