@@ -163,6 +163,7 @@ def cmd_train(args) -> int:
         lr=args.lr,
         lr_schedule=args.lr_schedule,
         grad_clip=args.grad_clip,
+        moment_dtype=args.moment_dtype,
         epochs=args.epochs,
         batch_size=args.batch_size,
         num_train=args.num_train,
@@ -401,6 +402,10 @@ def main(argv=None) -> int:
                             "warmup_cosine"])
     t.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
+    t.add_argument("--moment-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage dtype (bf16 = stochastic-"
+                        "rounded low-precision optimizer state)")
     t.add_argument("--epochs", type=int, default=80000)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--num-train", type=int, default=1000)

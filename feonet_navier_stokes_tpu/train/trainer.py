@@ -51,6 +51,10 @@ class TrainConfig:
     # global-norm gradient clipping (0 = off, the reference behavior);
     # stabilizes full-batch residual training against loss spikes
     grad_clip: float = 0.0
+    # 'bfloat16' stores Adam moments in bf16 with stochastic rounding —
+    # the opt-in lever for the optimizer-bandwidth-bound BSR-47k step
+    # (docs/performance.md §BSR). Default f32 = exact reference Adam (C21).
+    moment_dtype: str = "float32"
     epochs: int = 2000
     batch_size: int | None = None  # None = full batch (reference default)
     num_train: int = 1000
@@ -196,7 +200,10 @@ class Trainer:
         schedule = build_schedule(
             c.lr, c.lr_schedule, c.epochs, c.lr_final_fraction
         )
-        self.tx = build_optimizer(c.optimizer, schedule, grad_clip=c.grad_clip)
+        self.tx = build_optimizer(
+            c.optimizer, schedule, grad_clip=c.grad_clip,
+            moment_dtype=c.moment_dtype,
+        )
         self.is_lbfgs = c.optimizer.lower() == "lbfgs"
         if c.hybrid_kind not in ("galerkin", "linearized"):
             raise ValueError(f"hybrid_kind must be 'galerkin' or "

@@ -562,3 +562,59 @@ def test_hybrid_linearized_trains():
         tr2.fit(ds2, None, verbose=False)
     with pytest.raises(ValueError, match="hybrid_kind"):
         Trainer(p, _dc.replace(tc, hybrid_kind="bogus"))
+
+
+def test_lowp_adam_moments():
+    """bf16-SR Adam (opt-in, VERDICT r2 #6b): moments stored bf16, update
+    math f32 — trajectory stays close to exact f32 Adam on a quadratic, and
+    the stochastic rounding keeps the second moment tracking (1-b2)=1e-3
+    increments that round-to-nearest bf16 would swallow."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from feonet_navier_stokes_tpu.train.optimizers import (
+        build_optimizer, scale_by_adam_lowp, _sr_to_bf16, _cheap_rbits,
+    )
+
+    # SR is unbiased: mean over many dithered casts converges to the value
+    x = jnp.full((20000,), 1.0 + 2 ** -11, jnp.float32)  # halfway point
+    r = _cheap_rbits(x.shape, jnp.int32(7), 3)
+    m = jnp.mean(_sr_to_bf16(x, r).astype(jnp.float32))
+    assert abs(float(m) - float(x[0])) < 2e-4
+
+    def loss(p):
+        return jnp.sum((p - 3.0) ** 2) + 0.1 * jnp.sum(p ** 4)
+
+    p0 = jnp.linspace(-1.0, 1.0, 256).reshape(16, 16)
+
+    def run(tx):
+        params = {"w": p0}
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            g = jax.grad(lambda q: loss(q["w"]))(params)
+            u, state = tx.update(g, state, params)
+            return optax.apply_updates(params, u), state
+
+        for _ in range(300):
+            params, state = step(params, state)
+        return params["w"], state
+
+    w_ref, _ = run(optax.adam(1e-2))
+    w_lowp, st = run(
+        optax.chain(scale_by_adam_lowp(), optax.scale_by_learning_rate(1e-2))
+    )
+    # moments really are bf16
+    assert st[0].mu["w"].dtype == jnp.bfloat16
+    assert st[0].nu["w"].dtype == jnp.bfloat16
+    # and the trajectory tracks exact Adam
+    assert float(jnp.max(jnp.abs(w_ref - w_lowp))) < 5e-2
+
+    # guard rails
+    import pytest
+    with pytest.raises(ValueError, match="only supported for adam"):
+        build_optimizer("sgd", 1e-3, moment_dtype="bfloat16")
+    with pytest.raises(ValueError, match="moment_dtype"):
+        build_optimizer("adam", 1e-3, moment_dtype="float16")

@@ -69,6 +69,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--moment-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--ema-decay", type=float, default=0.999)
     ap.add_argument("--eval-every", type=int, default=2000)
     ap.add_argument("--init-from", default=None)
@@ -126,6 +128,7 @@ def main() -> int:
         model=args.model,
         model_kwargs=json.loads(args.model_kwargs),
         lr=args.lr, lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
+        moment_dtype=args.moment_dtype,
         ema_decay=args.ema_decay, epochs=args.epochs,
         cascade_epochs=args.cascade_epochs,
         resample_every=args.resample_every,

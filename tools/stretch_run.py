@@ -43,6 +43,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
     ap.add_argument("--grad-clip", type=float, default=0.0)
+    ap.add_argument("--moment-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute dtype for the model (params f32)")
     ap.add_argument("--num-train", type=int, default=256)
@@ -124,6 +126,7 @@ def main() -> int:
         lr=args.lr,
         lr_schedule=args.lr_schedule,
         grad_clip=args.grad_clip,
+        moment_dtype=args.moment_dtype,
         epochs=args.epochs,
         num_train=args.num_train,
         num_val=args.num_val,
