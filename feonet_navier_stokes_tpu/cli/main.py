@@ -66,6 +66,10 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                         "levels (0 = off; stokes_square/steady_ns via the "
                         "structured nested-mesh hierarchy, stokes_hole via "
                         "the algebraic SA-AMG hierarchy)")
+    p.add_argument("--pad-ng", action="store_true",
+                   help="pad ng to the next 128 multiple through head + "
+                        "dense operators (MXU tile alignment; dense steady-"
+                        "Stokes paths)")
     p.add_argument("--equilibrate", action="store_true",
                    help="Ruiz-equilibrate the training system (sparsity-"
                         "preserving residual conditioning; all problems — "
@@ -108,6 +112,7 @@ def _build_problem(args):
         op_format=args.op_format,
         interp=args.interp,
         bpx_levels=args.bpx_levels,
+        pad_ng=args.pad_ng,
         equilibrate=args.equilibrate,
         rollout_metric=args.rollout_metric,
         p_weight=args.p_weight,

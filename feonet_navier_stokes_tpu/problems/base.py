@@ -200,6 +200,15 @@ class ProblemConfig:
     # nested-mesh hierarchy; stokes_hole uses the algebraic (vector-block
     # smoothed-aggregation) hierarchy in linalg/amg.py.
     bpx_levels: int = 0
+    # Pad ng up to the next 128 multiple through the head + dense operators:
+    # ng=2563 -> 2688 costs ~10% padded-out MXU work on the head and loss
+    # matmuls when left to XLA's implicit tile padding (docs/performance.md
+    # §3). With pad_ng the network emits ng_pad coefficients, op_train is
+    # zero-padded to (ng_pad, ng_pad) and loads to ng_pad (pad rows of the
+    # residual are identically 0 - 0), and ``unmap`` slices back to ng so
+    # everything downstream — metrics, eval, ground truth — is unchanged.
+    # Dense steady-Stokes paths only (the BSR stream already tiles at 128).
+    pad_ng: bool = False
     dtype: Any = jnp.float32
 
     def resolved_mu(self) -> float:
@@ -224,6 +233,7 @@ class Problem:
         # mutation would silently not reach the jitted step, so set_precond
         # raises once this flips
         self._ops_consumed = False
+        self.ng_pad = space.ng  # pad_ng raises this to the next 128 multiple
         c = config
         dtype = c.dtype
         mu = c.resolved_mu()
@@ -452,6 +462,17 @@ class Problem:
                 else jnp.asarray(base64, dtype=dtype)
             )
 
+        # --- MXU tile padding of the dense training system (pad_ng) ---
+        if c.pad_ng:
+            if (self.is_bsr or c.bpx_levels > 0 or c.equilibrate
+                    or c.name not in ("stokes_square", "stokes_hole")):
+                raise ValueError(
+                    "pad_ng supports the dense steady-Stokes paths only "
+                    "(the BSR stream already tiles at 128; BPX/equilibrate "
+                    "change the training coordinates)"
+                )
+            self._apply_pad_ng()
+
         # --- sampling state ---
         if c.forcing == "grf":
             self.grf_chol = grf_factor(space.p2_coords)
@@ -513,6 +534,19 @@ class Problem:
         self.precond64 = M64
         self.precond = jnp.asarray(M64, dtype=dtype)
         self.op_train = jnp.asarray(base64 @ M64, dtype=dtype)
+        if c.pad_ng:
+            self._apply_pad_ng()
+
+    def _apply_pad_ng(self) -> None:
+        """Zero-pad the dense training system to the next 128-row/col
+        multiple (idempotent). The network head emits ng_pad coefficients;
+        pad rows of the residual are 0 - 0 and ``unmap`` slices back to ng,
+        so metrics/eval/ground-truth paths never see the padding."""
+        ng = self.space.ng
+        self.ng_pad = -(-ng // 128) * 128
+        pad = self.ng_pad - self.op_train.shape[-1]
+        if pad > 0:
+            self.op_train = jnp.pad(self.op_train, ((0, pad), (0, pad)))
 
     # ------------------------------------------------------------------
     # dimensions / component slices
@@ -524,9 +558,10 @@ class Problem:
 
     @property
     def d_out(self) -> int:
-        """Network output dimension: ng, or m under the BPX congruence
-        (the network emits w-coordinates, unmap maps them to coefficients)."""
-        return self.bpx64.m if self.bpx64 is not None else self.space.ng
+        """Network output dimension: ng, m under the BPX congruence (the
+        network emits w-coordinates, unmap maps them to coefficients), or
+        the 128-multiple ng_pad under pad_ng."""
+        return self.bpx64.m if self.bpx64 is not None else self.ng_pad
 
     @property
     def n2(self) -> int:
@@ -556,7 +591,10 @@ class Problem:
         if c.forcing == "sincos":
             coeffs = sample_sincos_coeffs(key, n)  # f32 draws
             batch = {"coeff_f": jnp.asarray(coeffs, dtype=dtype)}
-            batch["load"] = jnp.asarray(self._train_load64(batch), dtype=dtype)
+            load = self._train_load64(batch)
+            if self.ng_pad != self.space.ng:  # pad_ng: residual pad rows 0-0
+                load = np.pad(load, ((0, 0), (0, self.ng_pad - self.space.ng)))
+            batch["load"] = jnp.asarray(load, dtype=dtype)
             return batch
         if c.forcing == "grf":
             ux64, uy64 = sample_grf(key, self.grf_chol, n)
@@ -568,7 +606,10 @@ class Problem:
                 "grf_ux": jnp.asarray(ux32, dtype=dtype),
                 "grf_uy": jnp.asarray(uy32, dtype=dtype),
             }
-            batch["load"] = jnp.asarray(self._train_load64(batch), dtype=dtype)
+            load = self._train_load64(batch)
+            if self.ng_pad != self.space.ng:  # pad_ng: residual pad rows 0-0
+                load = np.pad(load, ((0, 0), (0, self.ng_pad - self.space.ng)))
+            batch["load"] = jnp.asarray(load, dtype=dtype)
             return batch
         raise ValueError(f"forcing {c.forcing!r} invalid for {c.name}")
 
@@ -961,6 +1002,8 @@ class Problem:
         """Map network output to solution coefficients: apply SPAI M, the
         equilibration column scale (u = dc * û), or the BPX congruence
         factor + exact BC lift (u = G w + u_bc)."""
+        if self.ng_pad != self.space.ng and pred.shape[-1] == self.ng_pad:
+            pred = pred[..., : self.space.ng]  # drop the pad_ng tail
         precond = self.precond if ops is None else ops.get("precond")
         equil_dc = self.equil_dc if ops is None else ops.get("equil_dc")
         bpx_G = self.bpx_G if ops is None else ops.get("bpx_G")

@@ -195,3 +195,42 @@ def test_rollout_physical_metric_measures_solution_error():
         build_problem(ProblemConfig(
             name="timedep_stokes", bc="lower", nx=4, forcing="five",
             seq_len=1, rollout_metric="physical"))
+
+
+def test_pad_ng_equivalence():
+    """pad_ng (MXU tile alignment, VERDICT r2 #6a): the padded training
+    system is mathematically identical — same residual loss on a padded
+    prediction, same unmapped coefficients, zero pad loads — and unsupported
+    configs raise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    for extra in ({}, {"precond_iters": 100}):
+        p0 = build_problem(ProblemConfig(name="stokes_square",
+                                         bc="channel_flow", nx=6, **extra))
+        p1 = build_problem(ProblemConfig(name="stokes_square",
+                                         bc="channel_flow", nx=6,
+                                         pad_ng=True, **extra))
+        assert p1.d_out == 512 and p0.d_out == p0.ng == 387
+        b0 = p0.sample_batch(jax.random.PRNGKey(3), 4)
+        b1 = p1.sample_batch(jax.random.PRNGKey(3), 4)
+        np.testing.assert_array_equal(np.asarray(b1["load"][:, p0.ng:]), 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(b1["load"][:, : p0.ng]), np.asarray(b0["load"])
+        )
+        pred0 = jax.random.normal(jax.random.PRNGKey(7), (4, p0.d_out))
+        pred1 = jnp.pad(pred0, ((0, 0), (0, p1.d_out - p0.d_out)))
+        l0, l1 = float(p0.loss(pred0, b0)), float(p1.loss(pred1, b1))
+        assert abs(l0 - l1) <= 1e-3 * abs(l0)
+        np.testing.assert_allclose(
+            np.asarray(p1.unmap(pred1)), np.asarray(p0.unmap(pred0)),
+            atol=1e-6,
+        )
+
+    with pytest.raises(ValueError, match="pad_ng"):
+        build_problem(ProblemConfig(name="stokes_square", bc="channel_flow",
+                                    nx=6, pad_ng=True, equilibrate=True))
