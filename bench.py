@@ -51,7 +51,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (f32 via bf16 passes)
 
 def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
                    filters: int = 32, dtype_name: str = "float32",
-                   pad_ng: bool = False):
+                   pad_ng: bool = False, moment_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +67,7 @@ def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
         lr=1e-3,
         num_train=batch,
         num_val=1,
+        moment_dtype=moment_dtype,
         model_kwargs={"filters": filters, "kernel_size": 5,
                       "compute_dtype": getattr(jnp, dtype_name)},
     )
@@ -293,6 +294,15 @@ def main() -> int:
             out["bsr_mfu_pct"] = round(
                 100.0 * bsr_flops * bsr_sps / V5E_PEAK_FLOPS, 2
             )
+        # the optimizer-bandwidth lever: bf16-SR Adam moments on the same
+        # step (the BSR step is ~55%-of-HBM optimizer traffic,
+        # docs/performance.md §BSR)
+        _, trbm, bbm = _build_trainer(nx=72, batch=256, resol=20,
+                                      op_format="bsr", filters=8,
+                                      moment_dtype="bfloat16")
+        out["bsr_50k_bf16mom_steps_per_sec"] = round(
+            measure_steps_per_sec(trbm, bbm, 10), 3
+        )
     except Exception as e:  # keep the headline JSON even if the stretch OOMs
         out["bsr_50k_error"] = type(e).__name__
 

@@ -28,14 +28,15 @@ ART_DEFAULT = "artifacts/hole512_channel_grf.npz"
 
 
 def _problem(precond_iters: int = 0, interp: str = "cubic", resol_in: int = 50,
-             bpx_levels: int = 0):
+             bpx_levels: int = 0, hole_h: float = 0.1205,
+             op_format: str = "dense"):
     from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
 
     return build_problem(
         ProblemConfig(
             name="stokes_hole", bc="channel_flow", forcing="grf",
             resol_in=resol_in, precond_iters=precond_iters, interp=interp,
-            bpx_levels=bpx_levels,
+            bpx_levels=bpx_levels, hole_h=hole_h, op_format=op_format,
         )
     )
 
@@ -44,7 +45,8 @@ def cmd_prepare(args) -> int:
     import jax
 
     t0 = time.time()
-    p = _problem(interp=args.interp, resol_in=args.resol_in)
+    p = _problem(interp=args.interp, resol_in=args.resol_in,
+                 hole_h=args.hole_h, op_format=args.op_format)
     from feonet_navier_stokes_tpu.linalg import spai, condition_number
 
     print(f"hole problem ne={p.space.mesh.num_cells} ng={p.ng} "
@@ -58,8 +60,14 @@ def cmd_prepare(args) -> int:
         extra = {"precond": np.asarray(M), "cond_after": cond}
     else:  # datasets-only artifact (BPX training needs no dense SPAI)
         extra = {}
-    train_b, train_t = p.sample_converged(jax.random.PRNGKey(5), args.num)
-    val_b, val_t = p.sample_converged(jax.random.PRNGKey(10), args.num)
+    num_val = args.num_val or args.num
+    if args.train_truth:
+        train_b, train_t = p.sample_converged(jax.random.PRNGKey(5), args.num)
+        train_extra = {"train_truth": np.asarray(train_t)}
+    else:  # label-free residual training: loads only, no direct solves
+        train_b = p.sample_batch(jax.random.PRNGKey(5), args.num)
+        train_extra = {}
+    val_b, val_t = p.sample_converged(jax.random.PRNGKey(10), num_val)
     os.makedirs(os.path.dirname(args.art), exist_ok=True)
     np.savez(
         args.art,
@@ -67,7 +75,7 @@ def cmd_prepare(args) -> int:
         resol_in=args.resol_in,
         interp=args.interp,
         **{f"train_{k}": np.asarray(v) for k, v in train_b.items()},
-        train_truth=np.asarray(train_t),
+        **train_extra,
         **{f"val_{k}": np.asarray(v) for k, v in val_b.items()},
         val_truth=np.asarray(val_t),
     )
@@ -89,7 +97,8 @@ def cmd_train(args) -> int:
     # --bpx-levels swaps the dense SPAI for the algebraic (SA-AMG) BPX
     # congruence — the stored BC-applied loads are exactly what the BPX loss
     # consumes, so the artifact datasets are reused as-is.
-    p = _problem(interp=interp, resol_in=resol_in, bpx_levels=args.bpx_levels)
+    p = _problem(interp=interp, resol_in=resol_in, bpx_levels=args.bpx_levels,
+                 hole_h=args.hole_h, op_format=args.op_format)
     if args.bpx_levels == 0:
         if "precond" not in z.files:
             raise SystemExit(f"{args.art} is a datasets-only artifact "
@@ -97,6 +106,8 @@ def cmd_train(args) -> int:
                              "--bpx-levels or re-prepare with SPAI")
         p.set_precond(z["precond"])
     mkw = json.loads(args.model_kwargs)
+    n_train = next(int(z[k].shape[0]) for k in z.files
+                   if k.startswith("train_"))
     tc = TrainConfig(
         model=args.model,
         model_kwargs=mkw,
@@ -104,13 +115,15 @@ def cmd_train(args) -> int:
         lr_schedule=args.lr_schedule,
         ema_decay=args.ema_decay,
         grad_clip=args.grad_clip,
+        moment_dtype=args.moment_dtype,
         resample_every=args.resample_every,
         epochs=args.epochs,
-        num_train=int(z["train_truth"].shape[0]),
+        num_train=n_train,
         num_val=int(z["val_truth"].shape[0]),
         eval_every=args.eval_every,
         ckpt_dir=args.ckpt_dir,
         log_path=args.log,
+        truth_for_train="train_truth" in z.files,
     )
     trainer = Trainer(p, tc)
     cond_note = ("algebraic-BPX congruence" if args.bpx_levels
@@ -126,15 +139,17 @@ def cmd_train(args) -> int:
             for k in z.files
             if k.startswith(prefix + "_") and not k.endswith("truth")
         }
-        return Dataset(batch, jnp.asarray(z[f"{prefix}_truth"], f32))
+        truth = (jnp.asarray(z[f"{prefix}_truth"], f32)
+                 if f"{prefix}_truth" in z.files else None)
+        return Dataset(batch, truth)
 
     t0 = time.time()
     trainer.fit(_ds("train"), _ds("val"), verbose=True)
     wall = time.time() - t0
     final = trainer.history[-1]
     result = {
-        "problem": f"stokes_hole ne=512 (ng={p.ng}) channel_flow GRF, "
-                   f"{args.model} + "
+        "problem": f"stokes_hole ne={p.space.mesh.num_cells} (ng={p.ng}) "
+                   f"channel_flow GRF, {args.model} + "
                    + (f"BPX-SA({args.bpx_levels})" if args.bpx_levels
                       else "SPAI(10000)")
                    + f", interp={interp}, resol_in={resol_in}",
@@ -162,9 +177,19 @@ def main() -> int:
     a = sub.add_parser("prepare")
     a.add_argument("--art", default=ART_DEFAULT)
     a.add_argument("--num", type=int, default=1000)
+    a.add_argument("--num-val", type=int, default=0,
+                   help="val split size (0 = same as --num)")
     a.add_argument("--spai-iters", type=int, default=10000)
     a.add_argument("--interp", default="cubic")
     a.add_argument("--resol-in", type=int, default=50)
+    a.add_argument("--hole-h", type=float, default=0.1205,
+                   help="target edge length; 0.03 -> ne=8285/ng=38215 "
+                        "(the large-ng stretch)")
+    a.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
+    a.add_argument("--train-truth", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-train-truth skips the per-sample direct solve "
+                        "for the train split (label-free residual training)")
     a.set_defaults(fn=cmd_prepare)
     t = sub.add_parser("train")
     t.add_argument("--art", default=ART_DEFAULT)
@@ -182,6 +207,12 @@ def main() -> int:
     t.add_argument("--ema-decay", type=float, default=0.0)
     t.add_argument("--resample-every", type=int, default=0)
     t.add_argument("--grad-clip", type=float, default=0.0)
+    t.add_argument("--moment-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bf16 Adam moments (the HBM lever for the ~5e8-param "
+                        "head at the large-ng stretch)")
+    t.add_argument("--hole-h", type=float, default=0.1205)
+    t.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
     t.add_argument("--eval-every", type=int, default=2000)
     t.add_argument("--ckpt-dir", default=None)
     t.add_argument("--log", default=None)
