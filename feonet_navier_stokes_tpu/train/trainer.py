@@ -276,7 +276,9 @@ class Trainer:
     def _place_state(self, state: TrainState, init_opt: bool = False) -> TrainState:
         """Place a TrainState for the tensor-parallel mesh: params with the
         column-shard layout, optimizer state re-initialized under jit so its
-        moment pytrees inherit the param shardings via SPMD propagation."""
+        moment pytrees inherit the param shardings via SPMD propagation
+        (init_opt=False keeps an already-placed opt_state, e.g. the full-TP-
+        resume restore that load_checkpoint places leaf-by-leaf)."""
         params = shard_params(state.params, self.mesh, self.problem.d_out)
         opt_state = (
             jax.jit(self.tx.init)(params) if init_opt else state.opt_state
@@ -828,26 +830,28 @@ class Trainer:
         FEONet_steady_Navier-Stokes/train_FEONet.py:209-215).
 
         ``params_only=False`` additionally restores the optimizer state and
-        EMA params (full resume). Not supported together with tensor
-        parallelism (the restored moments would need the column-shard
-        layout; re-warm instead)."""
+        EMA params (full resume). Under tensor parallelism the restored
+        moments are re-placed with the column-shard layout taken from the
+        compiled ``tx.init`` output shardings (no transient double
+        allocation)."""
         import orbax.checkpoint as ocp
         from flax import serialization
 
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path))
         state = self.state
-        if params_only or "opt_state" not in restored:
-            opt_state = state.opt_state
-        else:
-            if self.config.model_axis > 1:
-                raise NotImplementedError(
-                    "full resume (params_only=False) under tensor parallelism "
-                    "is not supported; warm-start with params_only=True"
-                )
+        restore_opt = not params_only and "opt_state" in restored
+        if restore_opt:
+            # host-side pytree with the live opt_state's structure
             opt_state = serialization.from_state_dict(
                 state.opt_state, restored["opt_state"]
             )
+            # restored leaves stay host-side (uncommitted): the jitted train
+            # step places them via SPMD propagation from the param shardings
+            # — committing them here (device_put) would pin device 0 and
+            # conflict with the TP column-shard layout
+        else:
+            opt_state = state.opt_state
         ema = state.ema_params
         if self.use_ema:
             # copy to avoid aliasing the (donated) params buffers
@@ -863,6 +867,8 @@ class Trainer:
         )
         if self.mesh is not None:
             if self.config.model_axis > 1:
-                self.state = self._place_state(self.state, init_opt=params_only)
+                self.state = self._place_state(
+                    self.state, init_opt=not restore_opt
+                )
             else:
                 self.state = replicate(self.state, self.mesh)

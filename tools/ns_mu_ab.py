@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--model-kwargs", default='{"filters": 16}')
     ap.add_argument("--equilibrate", action="store_true")
     ap.add_argument("--precond", type=int, default=0)
+    ap.add_argument("--precond-mode", default="spai",
+                    choices=["spai", "exact"])
+    ap.add_argument("--stokes-shift", action="store_true")
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--n", type=int, default=100)
@@ -53,13 +56,19 @@ def main() -> int:
     t0 = time.time()
     base = dict(name="steady_ns", bc=args.bc, nx=args.nx,
                 equilibrate=args.equilibrate, precond_iters=args.precond)
-    p10 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=1.0))
+    # p10 carries the full TRAINING config so --ckpt unmaps correctly;
+    # p05 is truth-only (its training coordinates are never used)
+    p10 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=1.0,
+                                      precond_mode=args.precond_mode,
+                                      stokes_shift=args.stokes_shift))
     p05 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=0.5))
 
     z = np.load(args.data_cache, allow_pickle=True)
     coeff_f = np.asarray(z["val_batch_coeff_f"])[: args.n]
     batch = {"coeff_f": jnp.asarray(coeff_f, jnp.float32)}
     load64 = p10.load64(batch)
+    # training-coordinate loads: shift_output (stokes_shift) consumes them
+    batch["load"] = jnp.asarray(p10._train_load64(batch), jnp.float32)
     print(f"solving {args.n} instances under both truths "
           f"[{time.time()-t0:.0f}s]", flush=True)
     u10, rel10, _ = p10._solve_ns_batch(load64)
