@@ -54,7 +54,9 @@ def main() -> int:
                          "--loss-mode supervised this is lever (a) — "
                          "supervised training in O(1)-conditioned coords")
     ap.add_argument("--model", default="Net2D")
-    ap.add_argument("--model-kwargs", default='{"filters": 16}')
+    ap.add_argument("--model-kwargs", default="",
+                    help="JSON; empty = per-model default (Net2D filters=16, "
+                         "UNetWithHead class defaults)")
     ap.add_argument("--epochs", type=int, default=40000)
     ap.add_argument("--cascade-epochs", type=int, default=0)
     ap.add_argument("--resample-every", type=int, default=0)
@@ -124,9 +126,15 @@ def main() -> int:
     print(f"datasets: train={train_ds.n} val={val_ds.n} "
           f"[{time.time()-t0:.0f}s]", flush=True)
 
+    if args.model_kwargs:
+        model_kwargs = json.loads(args.model_kwargs)
+    elif args.model in ("Net2D", "NetA", "Net3D"):
+        model_kwargs = {"filters": 16}
+    else:
+        model_kwargs = {}
     tc = TrainConfig(
         model=args.model,
-        model_kwargs=json.loads(args.model_kwargs),
+        model_kwargs=model_kwargs,
         lr=args.lr, lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
         moment_dtype=args.moment_dtype,
         ema_decay=args.ema_decay, epochs=args.epochs,
