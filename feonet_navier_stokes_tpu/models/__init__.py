@@ -21,6 +21,7 @@ from .temporal import (
     UNet1D,
     CoeffRNN,
     LinearStep,
+    LinearStepRNN,
 )
 from .registry import build_model, MODEL_REGISTRY
 
@@ -37,6 +38,7 @@ __all__ = [
     "UNet1D",
     "CoeffRNN",
     "LinearStep",
+    "LinearStepRNN",
     "build_model",
     "MODEL_REGISTRY",
 ]

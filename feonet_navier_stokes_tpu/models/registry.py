@@ -13,6 +13,7 @@ from .temporal import (
     UNet1D,
     CoeffRNN,
     LinearStep,
+    LinearStepRNN,
 )
 
 MODEL_REGISTRY: dict[str, Any] = {
@@ -34,6 +35,9 @@ MODEL_REGISTRY: dict[str, Any] = {
     # linear, so its solution operator is an affine recursion — learn it
     # directly (models/temporal.py LinearStep docstring).
     "LinearStep": LinearStep,
+    # TPU-first addition: LinearStep + zero-gated RNN correction trained
+    # end-to-end (models/temporal.py LinearStepRNN docstring).
+    "LinearStepRNN": LinearStepRNN,
 }
 
 

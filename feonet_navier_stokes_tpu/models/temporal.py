@@ -218,6 +218,43 @@ class LinearStep(nn.Module):
         return ys  # (B, T, d_out)
 
 
+class LinearStepRNN(nn.Module):
+    """LinearStep propagator + zero-gated autoregressive RNN correction.
+
+    Trained end-to-end by the label-free rollout residual (no closed-form
+    parameters injected). The affine branch gives the optimizer a quadratic
+    bowl whose minimum is the exact discrete propagator of the LINEAR
+    timedep-Stokes step (see LinearStep docstring); a pure RNN instead has
+    to bend a nonlinear recursion onto that affine map and floors on the
+    weakly-weighted pressure directions (round-2 best: traj 3.6e-3 with
+    p 0.023). The RNN branch is gated by a scalar ``alpha`` initialized to
+    ZERO (ReZero-style): at init the model IS a trainable LinearStep, and
+    alpha only moves once a nonzero correction lowers the loss — which also
+    makes this the right model class for the time-dependent NS step, where
+    the true one-step map is affine + a quadratic convection correction.
+
+    No reference counterpart (its temporal models are the four pure nets,
+    FEONet_time_dep_Stokes/network.py:37-398); TPU-first addition.
+    """
+
+    d_out: int
+    seq_len: int
+    hidden: int = 512
+    rnn_type: str = "gru"
+
+    @nn.compact
+    def __call__(self, u0: Array, train: bool = False) -> Array:
+        lin = LinearStep(d_out=self.d_out, seq_len=self.seq_len)(u0)
+        corr = CoeffRNN(
+            d_out=self.d_out,
+            seq_len=self.seq_len,
+            hidden=self.hidden,
+            rnn_type=self.rnn_type,
+        )(u0)
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        return lin + alpha * corr
+
+
 class _ARStep(nn.Module):
     """One autoregressive step: (rnn_carry, prev_vec) -> emit next vec."""
 

@@ -703,7 +703,7 @@ class Problem:
         c = self.config
         if model_name == "FCNN":
             return batch["coeff_f"]
-        if model_name in ("RNN", "LinearStep"):
+        if model_name in ("RNN", "LinearStep", "LinearStepRNN"):
             return batch["u_init"]
         if model_name == "UNet1D":
             coords = jnp.asarray(self.space.mixed_coords(), dtype=batch["u_init"].dtype)

@@ -193,6 +193,7 @@ class Trainer:
         kwargs = dict(c.model_kwargs)
         if pc.name.startswith("timedep") and c.model in (
             "UNet2D", "UNetTemporal", "UNet1D", "RNN", "LinearStep",
+            "LinearStepRNN",
         ):
             kwargs.setdefault("seq_len", pc.seq_len)
         self.model = build_model(c.model, d_out=problem.d_out, **kwargs)

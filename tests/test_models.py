@@ -44,6 +44,7 @@ def test_steady_models(name, x_shape, d_out, kwargs):
         ("UNet1D", (2, 101, 3), {"base_ch": 4, "latent_ch": 8, "hidden": 16}),
         ("RNN", (2, 101), {"hidden": 32}),
         ("LinearStep", (2, 101), {}),
+        ("LinearStepRNN", (2, 101), {"hidden": 32}),
     ],
 )
 def test_temporal_models(name, x_shape, kwargs):
@@ -87,6 +88,26 @@ def test_linear_step_identity_init():
     for t in range(T):
         h = h @ W + b
         np.testing.assert_allclose(out2[:, t, :], h, rtol=2e-5, atol=2e-5)
+
+
+def test_linear_step_rnn_zero_gate():
+    """At init the composite IS the identity LinearStep (alpha=0 kills the
+    RNN branch), and alpha receives a gradient so the gate can open."""
+    T, n = 4, 13
+    m = build_model("LinearStepRNN", d_out=n, seq_len=T, hidden=16)
+    x = jax.random.normal(KEY, (3, n))
+    vs = m.init(KEY, x, train=False)
+    out = np.asarray(m.apply(vs, x, train=False))
+    np.testing.assert_allclose(
+        out, np.broadcast_to(np.asarray(x)[:, None, :], (3, T, n)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    tgt = jax.random.normal(jax.random.PRNGKey(7), (3, T, n))
+    g = jax.grad(
+        lambda p: jnp.sum((m.apply({"params": p}, x, train=False) - tgt) ** 2)
+    )(vs["params"])
+    assert float(jnp.abs(g["alpha"]).sum()) > 0.0
 
 
 def test_linear_map_is_affine():
