@@ -29,12 +29,21 @@ Array = jnp.ndarray
 
 
 class Net2D(nn.Module):
-    """Plain conv stack + linear head (reference Net2D, network.py:54-84)."""
+    """Plain conv stack + linear head (reference Net2D, network.py:54-84).
+
+    ``pool`` (TPU-first addition, no reference counterpart): number of 2x2
+    max-pools applied after the conv activations. At large d_out the head's
+    Dense kernel is flatten_dim x d_out — at resol 50 / filters 32 that is
+    80_000 x d_out, which at d_out ~ 45k (the 38k-DoF hole problem's BPX
+    w-dimension) is a 14 GB fp32 tensor that cannot fit one chip's HBM.
+    Each pool shrinks the flatten (and the head kernel) by ~4x while keeping
+    the conv capacity untouched."""
 
     d_out: int
     filters: int = 32
     kernel_size: int = 5
     blocks: int = 0
+    pool: int = 0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,6 +57,8 @@ class Net2D(nn.Module):
                                 **conv_inits(x, k))(x))
         x = nn.Conv(self.filters, k, padding="SAME", dtype=self.compute_dtype,
                     **conv_inits(x, k))(x)
+        for _ in range(self.pool):
+            x = nn.max_pool(x, (2, 2), (2, 2))
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 

@@ -743,6 +743,12 @@ class Trainer:
         tc2 = _dc.replace(
             self.config, epochs=epochs, cascade_epochs=0,
             seed=self.config.seed + 1, loss_mode="residual",
+            # resampling is stage-1-only: a resampled batch is a FRESH draw
+            # of the original problem, not a defect batch — training stage 2
+            # on it silently replaces the correction objective with the
+            # original one (observed as cascade-combined rel-L2 ~1.0 while
+            # the stage-2 loss itself descends).
+            resample_every=0,
             ckpt_dir=None,
             log_path=(self.config.log_path + ".cascade"
                       if self.config.log_path else None),

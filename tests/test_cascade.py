@@ -108,3 +108,23 @@ def test_timedep_ns_cascade_exact_correction(kw):
     loss = float(p.loss(estar, b2))
     loss_bad = float(p.loss(estar * 1.02 + 0.01, b2))
     assert loss < 1e-4 * loss_bad, (kw, loss, loss_bad)
+
+
+def test_cascade_stage2_never_resamples():
+    """Regression: Trainer.cascade must pin resample_every=0 in the stage-2
+    config — a resampled batch is a fresh ORIGINAL-problem draw, not a defect
+    batch, so stage 2 silently stops learning the correction (observed as
+    cascade-combined rel-L2 ~1.0 while the stage-2 loss itself descends)."""
+    from feonet_navier_stokes_tpu.train import Dataset, Trainer, TrainConfig
+
+    p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,
+                                    forcing="five", seq_len=3,
+                                    equilibrate=True, precond_mode="exact"))
+    tc = TrainConfig(model="RNN", model_kwargs={"hidden": 8}, epochs=4,
+                     eval_every=4, loss_mode="residual", truth_for_train=False,
+                     resample_every=2, lr=1e-3)
+    tr = Trainer(p, tc)
+    batch = p.sample_batch(jax.random.PRNGKey(0), 2)
+    truth = p.ground_truth(batch, n_steps=3)
+    tr.cascade(Dataset(batch, None), Dataset(batch, truth), epochs=4)
+    assert tr.stage2.config.resample_every == 0

@@ -186,3 +186,14 @@ def test_net2d_bfloat16_compute_path():
     assert y16.dtype == np.float32  # head output stays f32
     denom = max(np.abs(y32).max(), 1e-6)
     assert np.abs(y16 - y32).max() / denom < 0.05
+
+
+def test_net2d_pool_shrinks_head():
+    """pool=k applies k 2x2 max-pools before the flatten, shrinking the head
+    Dense kernel ~4^k (required to fit a d_out ~ 45k head in HBM — the 38k
+    hole problem's Net2D head OOMed at init without it)."""
+    m = build_model("Net2D", d_out=7, filters=8, pool=2)
+    v = m.init(KEY, jnp.zeros((1, 20, 20, 2)))
+    assert v["params"]["Dense_0"]["kernel"].shape == (5 * 5 * 8, 7)
+    out = _apply(m, v, jnp.zeros((3, 20, 20, 2)))
+    assert out.shape == (3, 7)

@@ -1,0 +1,80 @@
+"""Resume a trained timedep checkpoint and (re-)run ONLY the cascade stage.
+
+Exists because a full td_final run (60k stage-1 epochs) already produced a
+good stage-1 checkpoint; re-running the whole job to exercise the fixed
+stage-2 (resample_every=0, trainer.py cascade()) would waste an hour of TPU.
+
+  python tools/td_cascade.py --ckpt runs/r3/td_final_ckpt/step_60000 \
+      --data-cache runs/r3/td200_cache.npz --cascade-epochs 30000 \
+      --log runs/r3/td_cascade.jsonl --out runs/r3/td_cascade_result.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--data-cache", required=True)
+    ap.add_argument("--problem", default="timedep_stokes")
+    ap.add_argument("--nx", type=int, default=10)
+    ap.add_argument("--dt", type=float, default=0.01)
+    ap.add_argument("--seq-len", type=int, default=10)
+    ap.add_argument("--model", default="RNN")
+    ap.add_argument("--model-kwargs", default='{"hidden":1024}')
+    ap.add_argument("--cascade-epochs", type=int, default=30000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval-every", type=int, default=5000)
+    ap.add_argument("--log", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+    from feonet_navier_stokes_tpu.train import Dataset, Trainer, TrainConfig
+
+    p = build_problem(ProblemConfig(
+        name=args.problem, bc="lower", nx=args.nx, dt=args.dt,
+        seq_len=args.seq_len, equilibrate=True, precond_mode="exact",
+    ))
+    tc = TrainConfig(
+        model=args.model, model_kwargs=json.loads(args.model_kwargs),
+        lr=args.lr, lr_schedule="cosine", grad_clip=1.0,
+        epochs=args.cascade_epochs, eval_every=args.eval_every,
+        loss_mode="residual", truth_for_train=False,
+        log_path=args.log,
+    )
+    trainer = Trainer(p, tc)
+    trainer.load_checkpoint(args.ckpt)
+    print(f"loaded stage-1 checkpoint {args.ckpt}", flush=True)
+
+    z = np.load(args.data_cache, allow_pickle=True)
+
+    def _split(prefix):
+        batch = {k[len(prefix) + 7:]: jnp.asarray(z[k])
+                 for k in z.files if k.startswith(prefix + "_batch_")}
+        tkey = f"{prefix}_truth"
+        return Dataset(batch, z[tkey] if tkey in z.files else None)
+
+    train_ds, val_ds = _split("train"), _split("val")
+    rec = trainer.cascade(train_ds, val_ds, args.cascade_epochs)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"ckpt": args.ckpt, "cascade_epochs": args.cascade_epochs,
+                       **rec}, f, indent=1)
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
