@@ -51,7 +51,8 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (f32 via bf16 passes)
 
 def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
                    filters: int = 32, dtype_name: str = "float32",
-                   pad_ng: bool = False, moment_dtype: str = "float32"):
+                   pad_ng: bool = False, moment_dtype: str = "float32",
+                   optimizer: str = "adam"):
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +68,7 @@ def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
         lr=1e-3,
         num_train=batch,
         num_val=1,
+        optimizer=optimizer,
         moment_dtype=moment_dtype,
         model_kwargs={"filters": filters, "kernel_size": 5,
                       "compute_dtype": getattr(jnp, dtype_name)},
@@ -302,6 +304,16 @@ def main() -> int:
                                       moment_dtype="bfloat16")
         out["bsr_50k_bf16mom_steps_per_sec"] = round(
             measure_steps_per_sec(trbm, bbm, 10), 3
+        )
+        # the optimizer-TRAFFIC lever: factored second moment (adafactor)
+        # — Adam moves ~28 B/param/step, adafactor ~12; on a step that is
+        # ~55% optimizer HBM traffic this is the bandwidth cut bf16 moments
+        # (a capacity-only saving) could not deliver
+        _, traf, baf = _build_trainer(nx=72, batch=256, resol=20,
+                                      op_format="bsr", filters=8,
+                                      optimizer="adafactor")
+        out["bsr_50k_adafactor_steps_per_sec"] = round(
+            measure_steps_per_sec(traf, baf, 10), 3
         )
     except Exception as e:  # keep the headline JSON even if the stretch OOMs
         out["bsr_50k_error"] = type(e).__name__

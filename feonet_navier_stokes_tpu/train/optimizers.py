@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 import optax
 
-OPTIMIZERS = ("adam", "adamw", "sgd", "adagrad", "lbfgs")
+OPTIMIZERS = ("adam", "adamw", "sgd", "adagrad", "lbfgs", "adafactor")
 SCHEDULES = ("constant", "cosine", "exponential", "warmup_cosine")
 MOMENT_DTYPES = ("float32", "bfloat16")
 
@@ -167,6 +167,16 @@ def build_optimizer(
         tx = optax.sgd(lr, momentum=momentum)
     elif name == "adagrad":
         tx = optax.adagrad(lr)
+    elif name == "adafactor":
+        # Factored second moment: (m,) + (n,) row/col statistics instead of
+        # a full (m, n) accumulator, and no first moment. The opt-in lever
+        # for the optimizer-BANDWIDTH-bound BSR-47k step (docs/performance.md
+        # §BSR): Adam moves ~28 B/param/step of HBM traffic, adafactor ~12 —
+        # bf16 moments only shrank capacity, not steps/s (BENCH r3 smoke).
+        # Default stays Adam for reference parity (C21).
+        tx = optax.adafactor(learning_rate=lr,
+                             multiply_by_parameter_scale=False,
+                             clipping_threshold=None)
     elif name == "lbfgs":
         tx = optax.lbfgs(lr if not callable(lr) else None)
     else:

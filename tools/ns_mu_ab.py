@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--precond-mode", default="spai",
                     choices=["spai", "exact"])
     ap.add_argument("--stokes-shift", action="store_true")
+    ap.add_argument("--bpx-levels", type=int, default=0,
+                    help="match a BPX-trained checkpoint (w-coordinate unmap)")
+    ap.add_argument("--ns-branch", default="newton",
+                    choices=["newton", "stable"])
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--n", type=int, default=100)
@@ -55,12 +59,14 @@ def main() -> int:
 
     t0 = time.time()
     base = dict(name="steady_ns", bc=args.bc, nx=args.nx,
-                equilibrate=args.equilibrate, precond_iters=args.precond)
+                equilibrate=args.equilibrate, precond_iters=args.precond,
+                ns_branch=args.ns_branch)
     # p10 carries the full TRAINING config so --ckpt unmaps correctly;
     # p05 is truth-only (its training coordinates are never used)
     p10 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=1.0,
                                       precond_mode=args.precond_mode,
-                                      stokes_shift=args.stokes_shift))
+                                      stokes_shift=args.stokes_shift,
+                                      bpx_levels=args.bpx_levels))
     p05 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=0.5))
 
     z = np.load(args.data_cache, allow_pickle=True)
