@@ -60,3 +60,45 @@ def test_stretch_cache_prefix_reuse(tmp_path):
     # cache contents unchanged by the reuse runs
     z2 = np.load(cache, allow_pickle=True)
     np.testing.assert_array_equal(np.asarray(z2["train_batch_coeff_f"]), full)
+
+
+def test_slim_cache_roundtrip(tmp_path):
+    """export drops the re-derivable load vectors + casts truth to f32;
+    rehydrate re-assembles the loads bit-compatibly (same f64 assembly ->
+    f32 cast as sample_batch). Guards the git-preservation path for the
+    warm-gen datasets (the 47k caches were lost with the round-2 VM)."""
+    import jax
+
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    p = build_problem(ProblemConfig(
+        name="steady_ns", bc="lower", nx=6, equilibrate=True,
+        ns_branch="stable",
+    ))
+    batch, truth = p.sample_converged(jax.random.PRNGKey(0), 2)
+    cache = str(tmp_path / "full.npz")
+    np.savez(cache,
+             train_batch_coeff_f=np.asarray(batch["coeff_f"]),
+             train_batch_load=np.asarray(batch["load"]),
+             train_truth=np.asarray(truth),
+             val_batch_coeff_f=np.asarray(batch["coeff_f"]),
+             val_batch_load=np.asarray(batch["load"]),
+             val_truth=np.asarray(truth))
+    slim = str(tmp_path / "slim.npz")
+    out = str(tmp_path / "rehydrated.npz")
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "slim_cache.py")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    for cmd in (
+        [sys.executable, tool, "export", "--cache", cache, "--out", slim],
+        [sys.executable, tool, "rehydrate", "--slim", slim, "--out", out,
+         "--nx", "6"],
+    ):
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stdout + r.stderr
+    z = np.load(out)
+    np.testing.assert_array_equal(
+        z["train_batch_load"], np.asarray(batch["load"], np.float32))
+    np.testing.assert_allclose(
+        z["train_truth"], np.asarray(truth, np.float32), rtol=0, atol=0)
+    assert os.path.getsize(slim) < os.path.getsize(cache)
