@@ -762,7 +762,35 @@ class Trainer:
             }
         if verbose:
             print(f"cascade: stage-2 defect training ({epochs} epochs)")
-        self.stage2.fit(train2, None, verbose=verbose)
+        every = self.config.resample_every
+        if every and every > 0:
+            # Resampled defect training — the stage-2 analog of stage-1's
+            # label-free resampling, done OUTSIDE the jitted loop because a
+            # defect batch is a host-f64 transform of frozen stage-1
+            # predictions (defect_batch64), not a sample_batch draw. A FIXED
+            # 1k-sample defect set overfits badly (r3 td_cascade: train
+            # residual halved while combined val rel-L2 went 0.005 -> 0.156);
+            # fresh defects every `resample_every` epochs give stage 2 the
+            # same infinite-data regime that made stage 1 generalize.
+            import jax as _jax
+
+            done = 0
+            while done < epochs:
+                chunk = min(every, epochs - done)
+                self.stage2.fit(train2, None, epochs=chunk, verbose=False)
+                done += chunk
+                if done < epochs:
+                    key = _jax.random.PRNGKey(self.config.seed + 7000 + done)
+                    fresh = p.sample_batch(key, train_ds.n)
+                    pred0 = self._raw_forward(fresh)
+                    train2 = Dataset(p.defect_batch64(fresh, pred0), None)
+                if verbose and done % max(every * 10, 1) < every:
+                    last = self.stage2.history[-1]["loss"] if (
+                        self.stage2.history) else float("nan")
+                    print(f"cascade: {done}/{epochs} epochs "
+                          f"(loss {last:.4e})", flush=True)
+        else:
+            self.stage2.fit(train2, None, verbose=verbose)
 
         rec: dict[str, float] = {"cascade": 1.0}
         if val_ds is not None and val_ds.truth is not None:

@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--model", default="RNN")
     ap.add_argument("--model-kwargs", default='{"hidden":1024}')
     ap.add_argument("--cascade-epochs", type=int, default=30000)
+    ap.add_argument("--resample-every", type=int, default=0,
+                    help=">0: fresh defect batches (via the frozen stage-1) "
+                         "every N stage-2 epochs — the anti-overfit lever")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-every", type=int, default=5000)
     ap.add_argument("--log", default=None)
@@ -52,6 +55,7 @@ def main() -> int:
         lr=args.lr, lr_schedule="cosine", grad_clip=1.0,
         epochs=args.cascade_epochs, eval_every=args.eval_every,
         loss_mode="residual", truth_for_train=False,
+        resample_every=args.resample_every,
         log_path=args.log,
     )
     trainer = Trainer(p, tc)
