@@ -72,8 +72,17 @@ def main() -> int:
 
     if m <= args.max_dense:
         s = np.sort(np.linalg.svd(Ah.toarray(), compute_uv=False))[::-1]
-        lam_max, lam_min = float(s[0]), float(s[nfree - 1])
-        null_gap = float(s[nfree] / s[0])
+        # numerical rank by relative tolerance, NOT the nominal nfree: the
+        # BPX frame is redundant (m > nfree) AND the congruence can lose
+        # additional rank (observed at h=0.06: sigma[nfree-1] ~ 1e-17, so
+        # indexing at nfree-1 reported eff_cond 3e17 instead of the O(10)
+        # spectrum bound). True nonzero BPX eigenvalues are O(0.01-1) while
+        # f64 SVD noise is ~1e-13*sigma_max — 1e-10 separates them cleanly.
+        tol = 1e-10 * float(s[0])
+        nz = s[s > tol]
+        lam_max, lam_min = float(s[0]), float(nz[-1])
+        null_gap = float(s[len(nz)] / s[0]) if len(nz) < m else float("nan")
+        nullity = int(m - len(nz))
         method = "dense-svd"
     else:
         lam_max = float(eigsh(Ah, k=1, which="LA",
@@ -116,6 +125,7 @@ def main() -> int:
         if lam_min is None:
             raise SystemExit("sigma search failed to certify lambda_min")
         null_gap = float("nan")
+        nullity = None  # not enumerated by the shift-invert path
         method = "lanczos-shift-invert"
     eff = lam_max / lam_min
     result = {
@@ -126,7 +136,7 @@ def main() -> int:
         "bpx_levels": args.bpx_levels,
         "eff_cond": round(eff, 3),
         "lam_max": lam_max, "lam_min_nonzero": lam_min,
-        "null_gap": null_gap, "method": method,
+        "null_gap": null_gap, "nullity": nullity, "method": method,
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(result), flush=True)
