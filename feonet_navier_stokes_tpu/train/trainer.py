@@ -785,8 +785,10 @@ class Trainer:
                     pred0 = self._raw_forward(fresh)
                     train2 = Dataset(p.defect_batch64(fresh, pred0), None)
                 if verbose and done % max(every * 10, 1) < every:
-                    last = self.stage2.history[-1]["loss"] if (
-                        self.stage2.history) else float("nan")
+                    # history may end with a guard/restore record (no 'loss')
+                    last = next((h["loss"] for h in
+                                 reversed(self.stage2.history)
+                                 if "loss" in h), float("nan"))
                     print(f"cascade: {done}/{epochs} epochs "
                           f"(loss {last:.4e})", flush=True)
         else:
