@@ -26,6 +26,14 @@ def main() -> int:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--data-cache", required=True)
     ap.add_argument("--problem", default="timedep_stokes")
+    # MUST match the training run: the CLI defaults timedep problems to
+    # 'five' (constant (5,-5) forcing -> load_const64), while ProblemConfig's
+    # own default is 'sincos' -> load_const64 = 0. With the wrong forcing the
+    # defect RHS silently contains the full constant-forcing term and
+    # stage 2 learns its (deterministic, large) response: combined rel-L2
+    # 0.156 reproduced to 4 digits across unrelated stage-2 runs (r3 ledger,
+    # td_cascade2/3).
+    ap.add_argument("--forcing", default="five")
     ap.add_argument("--nx", type=int, default=10)
     ap.add_argument("--dt", type=float, default=0.01)
     ap.add_argument("--seq-len", type=int, default=10)
@@ -48,6 +56,7 @@ def main() -> int:
 
     p = build_problem(ProblemConfig(
         name=args.problem, bc="lower", nx=args.nx, dt=args.dt,
+        forcing=args.forcing,
         seq_len=args.seq_len, equilibrate=True, precond_mode="exact",
     ))
     tc = TrainConfig(
