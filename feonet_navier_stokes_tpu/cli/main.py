@@ -215,8 +215,28 @@ def cmd_train(args) -> int:
     elif args.init_from:
         trainer.load_checkpoint(args.init_from)
         print(f"warm-started from {args.init_from}")
+    import dataclasses as _dc
+
+    # problem fingerprint stored with / checked against the cache: a cache
+    # built for one problem config silently trains another otherwise (the r3
+    # td_cascade forcing mismatch — 'five' cache under a 'sincos' problem —
+    # cost three TPU runs before the 0.156-vs-0.005 discrepancy was traced)
+    prob_fp = json.dumps(
+        {k: str(v) for k, v in _dc.asdict(problem.config).items()},
+        sort_keys=True)
     if args.data_cache and os.path.isfile(args.data_cache):
         z = np.load(args.data_cache, allow_pickle=True)
+        if "problem_fingerprint" in z.files:
+            have = json.loads(str(z["problem_fingerprint"]))
+            want = json.loads(prob_fp)
+            diff = {k for k in want if have.get(k) != want[k]}
+            if diff:
+                print("error: --data-cache was built for a different "
+                      "problem config; mismatched keys: "
+                      + ", ".join(f"{k} (cache {have.get(k)!r} != run "
+                                  f"{want[k]!r})" for k in sorted(diff)),
+                      file=sys.stderr)
+                return 1
         def _split(prefix):
             batch = {k[len(prefix) + 7:]: jnp.asarray(z[k])
                      for k in z.files if k.startswith(prefix + "_batch_")}
@@ -228,7 +248,7 @@ def cmd_train(args) -> int:
     else:
         train_ds, val_ds = trainer.make_datasets()
         if args.data_cache:
-            payload = {}
+            payload = {"problem_fingerprint": np.asarray(prob_fp)}
             for prefix, ds in (("train", train_ds), ("val", val_ds)):
                 for k, v in ds.batch.items():
                     payload[f"{prefix}_batch_{k}"] = np.asarray(v)

@@ -1,5 +1,6 @@
 """Dataset npz export/import (reference layout), CLI surface, graft entry."""
 
+import os
 import subprocess
 import sys
 
@@ -112,3 +113,29 @@ def test_export_equilibrated_stores_raw_loads(tmp_path):
     np.testing.assert_allclose(z["train_load_vectors"], raw, rtol=1e-12)
     # and the raw load differs from the scaled training batch load
     assert np.abs(np.asarray(b["load"], np.float64) - raw).max() > 1e-6
+
+
+def test_train_cache_problem_fingerprint(tmp_path):
+    """--data-cache stores the problem config fingerprint and refuses a
+    mismatched reload (regression: the r3 td_cascade forcing mismatch —
+    a 'five' cache under a 'sincos' problem — burned three TPU runs)."""
+    cache = str(tmp_path / "cache.npz")
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "feonet_navier_stokes_tpu.cli.main",
+             "train", "--problem", "stokes_square", "--bc", "lower",
+             "--nx", "4", "--model", "FCNN", "--loss-mode", "residual",
+             "--no-train-truth", "--num-train", "4", "--num-val", "2",
+             "--epochs", "1", "--eval-every", "1", "--data-cache", cache,
+             *extra],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORM_NAME": "cpu"},
+        )
+
+    assert run("--forcing", "sincos").returncode == 0      # builds the cache
+    assert run("--forcing", "sincos").returncode == 0      # matching reload
+    bad = run("--bc", "zero")                              # mismatched reload
+    assert bad.returncode == 1
+    assert "different problem config" in bad.stderr
+    assert "bc" in bad.stderr
