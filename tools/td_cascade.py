@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--seq-len", type=int, default=10)
     ap.add_argument("--model", default="RNN")
     ap.add_argument("--model-kwargs", default='{"hidden":1024}')
+    ap.add_argument("--num-train", type=int, default=0,
+                    help=">0: slice the cached train batch (CPU re-runs "
+                         "cannot afford the full 1000-sample full-batch)")
     ap.add_argument("--cascade-epochs", type=int, default=30000)
     ap.add_argument("--resample-every", type=int, default=0,
                     help=">0: fresh defect batches (via the frozen stage-1) "
@@ -80,6 +83,12 @@ def main() -> int:
         return Dataset(batch, z[tkey] if tkey in z.files else None)
 
     train_ds, val_ds = _split("train"), _split("val")
+    if args.num_train and args.num_train < train_ds.n:
+        train_ds = Dataset(
+            {k: v[: args.num_train] for k, v in train_ds.batch.items()},
+            None,
+        )
+        print(f"sliced train batch to {args.num_train}", flush=True)
     rec = trainer.cascade(train_ds, val_ds, args.cascade_epochs)
     if args.out:
         with open(args.out, "w") as f:
