@@ -772,15 +772,13 @@ class Trainer:
             # residual halved while combined val rel-L2 went 0.005 -> 0.156);
             # fresh defects every `resample_every` epochs give stage 2 the
             # same infinite-data regime that made stage 1 generalize.
-            import jax as _jax
-
             done = 0
             while done < epochs:
                 chunk = min(every, epochs - done)
                 self.stage2.fit(train2, None, epochs=chunk, verbose=False)
                 done += chunk
                 if done < epochs:
-                    key = _jax.random.PRNGKey(self.config.seed + 7000 + done)
+                    key = jax.random.PRNGKey(self.config.seed + 7000 + done)
                     fresh = p.sample_batch(key, train_ds.n)
                     pred0 = self._raw_forward(fresh)
                     train2 = Dataset(p.defect_batch64(fresh, pred0), None)
