@@ -52,7 +52,7 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (f32 via bf16 passes)
 def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
                    filters: int = 32, dtype_name: str = "float32",
                    pad_ng: bool = False, moment_dtype: str = "float32",
-                   optimizer: str = "adam"):
+                   optimizer: str = "adam", head_rank: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +71,7 @@ def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
         optimizer=optimizer,
         moment_dtype=moment_dtype,
         model_kwargs={"filters": filters, "kernel_size": 5,
+                      "head_rank": head_rank,
                       "compute_dtype": getattr(jnp, dtype_name)},
     )
     trainer = Trainer(problem, tc)
@@ -314,6 +315,15 @@ def main() -> int:
                                       optimizer="adafactor")
         out["bsr_50k_adafactor_steps_per_sec"] = round(
             measure_steps_per_sec(traf, baf, 10), 3
+        )
+        # composed lever: rank-512 factored head (~16x fewer head params ->
+        # ~16x less optimizer traffic AND 3-matmul-pass traffic) + adafactor.
+        # Opt-in (model head_rank kwarg); the parity default stays monolithic.
+        _, trfr, bfr = _build_trainer(nx=72, batch=256, resol=20,
+                                      op_format="bsr", filters=8,
+                                      optimizer="adafactor", head_rank=512)
+        out["bsr_50k_rank512_af_steps_per_sec"] = round(
+            measure_steps_per_sec(trfr, bfr, 10), 3
         )
     except Exception as e:  # keep the headline JSON even if the stretch OOMs
         out["bsr_50k_error"] = type(e).__name__

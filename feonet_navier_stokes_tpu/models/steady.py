@@ -37,13 +37,22 @@ class Net2D(nn.Module):
     80_000 x d_out, which at d_out ~ 45k (the 38k-DoF hole problem's BPX
     w-dimension) is a 14 GB fp32 tensor that cannot fit one chip's HBM.
     Each pool shrinks the flatten (and the head kernel) by ~4x while keeping
-    the conv capacity untouched."""
+    the conv capacity untouched.
+
+    ``head_rank`` (TPU-first addition): >0 factors the Dense head into
+    Dense(head_rank) @ Dense(d_out) with no nonlinearity between — an exact
+    low-rank parameterization of the same affine family. At the 47k-DoF
+    stretch config the monolithic head is ~150M params and the train step is
+    ~55% optimizer HBM traffic (docs/performance.md §BSR); rank r cuts head
+    params (and their Adam/adafactor traffic AND all three matmul passes)
+    by ~flatten*d_out / (r*(flatten+d_out))."""
 
     d_out: int
     filters: int = 32
     kernel_size: int = 5
     blocks: int = 0
     pool: int = 0
+    head_rank: int = 0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,6 +69,8 @@ class Net2D(nn.Module):
         for _ in range(self.pool):
             x = nn.max_pool(x, (2, 2), (2, 2))
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        if self.head_rank > 0:
+            x = nn.Dense(self.head_rank, dtype=jnp.float32, **dense_inits(x))(x)
         return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
@@ -208,12 +219,16 @@ class UNetFeatureExtractor(nn.Module):
 
 
 class UNetHead(nn.Module):
-    """Net2D-style conv head on the latent (network.py:216-240)."""
+    """Net2D-style conv head on the latent (network.py:216-240).
+
+    ``head_rank`` factors the final Dense as in :class:`Net2D` — at 47k DoF
+    the monolithic flatten x d_out kernel is ~300M params."""
 
     d_out: int
     filters: int = 64
     kernel_size: int = 7
     blocks: int = 1
+    head_rank: int = 0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,6 +242,8 @@ class UNetHead(nn.Module):
                                 **conv_inits(x, k))(x))
         x = nn.Conv(self.filters, k, padding="SAME", dtype=cd, **conv_inits(x, k))(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        if self.head_rank > 0:
+            x = nn.Dense(self.head_rank, dtype=jnp.float32, **dense_inits(x))(x)
         return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
 
 
@@ -241,6 +258,7 @@ class UNetWithHead(nn.Module):
     head_filters: int = 64
     head_kernel_size: int = 7
     head_blocks: int = 1
+    head_rank: int = 0
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -253,5 +271,6 @@ class UNetWithHead(nn.Module):
             self.head_filters,
             self.head_kernel_size,
             self.head_blocks,
+            self.head_rank,
             self.compute_dtype,
         )(latent)

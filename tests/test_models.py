@@ -197,3 +197,22 @@ def test_net2d_pool_shrinks_head():
     assert v["params"]["Dense_0"]["kernel"].shape == (5 * 5 * 8, 7)
     out = _apply(m, v, jnp.zeros((3, 20, 20, 2)))
     assert out.shape == (3, 7)
+
+
+def test_factored_head_rank():
+    """head_rank=r factors the Dense head into flatten x r @ r x d_out (the
+    47k-DoF optimizer-traffic lever, bench bsr_50k_rank512); rank 0 keeps the
+    parity-default monolithic head."""
+    m = build_model("Net2D", d_out=64, filters=8, head_rank=4)
+    v = m.init(KEY, jnp.zeros((1, 10, 10, 2)))
+    assert v["params"]["Dense_0"]["kernel"].shape == (10 * 10 * 8, 4)
+    assert v["params"]["Dense_1"]["kernel"].shape == (4, 64)
+    out = _apply(m, v, jnp.zeros((3, 10, 10, 2)))
+    assert out.shape == (3, 64)
+
+    u = build_model("UNetWithHead", d_out=32, base_ch=4, latent_ch=4,
+                    head_filters=4, head_rank=8)
+    vu = u.init(KEY, jnp.zeros((1, 16, 16, 2)))
+    heads = vu["params"]["UNetHead_0"]
+    assert heads["Dense_0"]["kernel"].shape[1] == 8
+    assert heads["Dense_1"]["kernel"].shape == (8, 32)
