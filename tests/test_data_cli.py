@@ -139,3 +139,29 @@ def test_train_cache_problem_fingerprint(tmp_path):
     assert bad.returncode == 1
     assert "different problem config" in bad.stderr
     assert "bc" in bad.stderr
+
+
+def test_train_cache_prefix_reuse(tmp_path):
+    """A cache holding MORE train samples than --num-train is sliced
+    deterministically to the first num_train (one committed cache serves a
+    whole data-scaling curve); a smaller/equal request never rejects."""
+    cache = str(tmp_path / "cache.npz")
+
+    def run(n):
+        return subprocess.run(
+            [sys.executable, "-m", "feonet_navier_stokes_tpu.cli.main",
+             "train", "--problem", "stokes_square", "--bc", "lower",
+             "--nx", "4", "--model", "FCNN", "--loss-mode", "residual",
+             "--no-train-truth", "--num-train", str(n), "--num-val", "2",
+             "--epochs", "1", "--eval-every", "1", "--data-cache", cache],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORM_NAME": "cpu"},
+        )
+
+    assert run(8).returncode == 0                 # builds an 8-sample cache
+    out = run(3)                                  # prefix reuse
+    assert out.returncode == 0
+    assert "sliced cached train split to num_train=3" in out.stdout
+    full = run(8)                                 # exact-size reload: no slice
+    assert full.returncode == 0
+    assert "sliced cached" not in full.stdout
