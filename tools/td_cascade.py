@@ -61,6 +61,9 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=5000)
     ap.add_argument("--log", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="save the trained STAGE-2 params here (good "
+                         "cascade nets are otherwise lost with the VM)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -102,6 +105,9 @@ def main() -> int:
         )
         print(f"sliced train batch to {args.num_train}", flush=True)
     rec = trainer.cascade(train_ds, val_ds, args.cascade_epochs)
+    if args.ckpt_dir:
+        print("stage-2 checkpoint:",
+              trainer.stage2.save_checkpoint(args.ckpt_dir), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"ckpt": args.ckpt, "cascade_epochs": args.cascade_epochs,
