@@ -18,6 +18,16 @@ import argparse
 import json
 import sys
 
+# ProblemConfig keys that change the SAMPLED DATA (batch contents or ground
+# truth). Everything else (bpx_levels, precond_*, op_format, stokes_shift,
+# rollout_metric, p_weight, pad_ng, ...) acts downstream of the batch, so a
+# cache mismatch there is a warning, not an error.
+DATA_FP_KEYS = frozenset({
+    "name", "bc", "forcing", "nx", "hole_h", "resol_in", "interp", "mu",
+    "dt", "seq_len", "equilibrate", "ns_branch", "ns_truth",
+    "ns_truth_mu_factor", "validate_form",
+})
+
 
 def _add_problem_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--problem", default="stokes_square",
@@ -220,7 +230,11 @@ def cmd_train(args) -> int:
     # problem fingerprint stored with / checked against the cache: a cache
     # built for one problem config silently trains another otherwise (the r3
     # td_cascade forcing mismatch — 'five' cache under a 'sincos' problem —
-    # cost three TPU runs before the 0.156-vs-0.005 discrepancy was traced)
+    # cost three TPU runs before the 0.156-vs-0.005 discrepancy was traced).
+    # Only DATA-AFFECTING keys are a hard error: bpx_levels/precond/op_format/
+    # rollout_metric/... act downstream of the sampled batch (slim_cache.py),
+    # and rejecting on them would forbid the flagship identical-data A/B
+    # (u-coords bpx_levels=0 vs w-coords bpx_levels=3) from one cache.
     prob_fp = json.dumps(
         {k: str(v) for k, v in _dc.asdict(problem.config).items()},
         sort_keys=True)
@@ -230,11 +244,19 @@ def cmd_train(args) -> int:
             have = json.loads(str(z["problem_fingerprint"]))
             want = json.loads(prob_fp)
             diff = {k for k in want if have.get(k) != want[k]}
-            if diff:
-                print("error: --data-cache was built for a different "
-                      "problem config; mismatched keys: "
+            hard = sorted(diff & DATA_FP_KEYS)
+            soft = sorted(diff - DATA_FP_KEYS)
+            if soft:
+                print("warning: --data-cache differs on downstream-only "
+                      "keys (data unaffected): "
                       + ", ".join(f"{k} (cache {have.get(k)!r} != run "
-                                  f"{want[k]!r})" for k in sorted(diff)),
+                                  f"{want[k]!r})" for k in soft),
+                      file=sys.stderr)
+            if hard:
+                print("error: --data-cache was built for a different "
+                      "problem config; mismatched data-affecting keys: "
+                      + ", ".join(f"{k} (cache {have.get(k)!r} != run "
+                                  f"{want[k]!r})" for k in hard),
                       file=sys.stderr)
                 return 1
         def _split(prefix):
@@ -257,6 +279,12 @@ def cmd_train(args) -> int:
                 else train_ds.truth[: args.num_train],
             )
             print(f"sliced cached train split to num_train={args.num_train}")
+        elif train_ds.n < args.num_train:
+            # loud, not fatal: a data-scaling point trained on fewer samples
+            # than its label claims is worse than a failed run
+            print(f"WARNING: cache has only {train_ds.n} train samples but "
+                  f"--num-train={args.num_train} was requested; training on "
+                  f"{train_ds.n}", file=sys.stderr)
     else:
         train_ds, val_ds = trainer.make_datasets()
         if args.data_cache:

@@ -740,6 +740,7 @@ class Trainer:
         p = self.problem
         pred0_tr = self._raw_forward(train_ds.batch)
         train2 = Dataset(p.defect_batch64(train_ds.batch, pred0_tr), None)
+        chunked = bool(self.config.resample_every)
         tc2 = _dc.replace(
             self.config, epochs=epochs, cascade_epochs=0,
             seed=self.config.seed + 1, loss_mode="residual",
@@ -749,6 +750,14 @@ class Trainer:
             # original one (observed as cascade-combined rel-L2 ~1.0 while
             # the stage-2 loss itself descends).
             resample_every=0,
+            # chunked resampling calls fit() once per chunk: per-chunk losses
+            # come from DIFFERENT defect draws, so best-tracking would
+            # silently restore_best() across incomparable chunks (params/
+            # opt-state mismatch) and the divergence guard's loss_min reset
+            # every chunk is meaningless — disable both for stage 2.
+            track_best=not chunked and self.config.track_best,
+            divergence_factor=0.0 if chunked
+            else self.config.divergence_factor,
             ckpt_dir=None,
             log_path=(self.config.log_path + ".cascade"
                       if self.config.log_path else None),
@@ -775,6 +784,10 @@ class Trainer:
             done = 0
             while done < epochs:
                 chunk = min(every, epochs - done)
+                # per-chunk seed offset: fit() derives its step RNG from
+                # config.seed, so without this every chunk would replay the
+                # identical per-step randomness
+                self.stage2.config = _dc.replace(tc2, seed=tc2.seed + done)
                 self.stage2.fit(train2, None, epochs=chunk, verbose=False)
                 done += chunk
                 if done < epochs:

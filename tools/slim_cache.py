@@ -56,6 +56,24 @@ def cmd_rehydrate(args) -> int:
     ))
     z = np.load(args.slim, allow_pickle=True)
     payload = {k: z[k] for k in z.files}
+    # The stored fingerprint describes the ORIGINAL cache; rehydrating under
+    # different flags must not smuggle it through (the train-time check would
+    # then validate loads that contradict it). Error on data-affecting
+    # disagreements, and always re-stamp from the rehydration config.
+    if "problem_fingerprint" in payload:
+        have = json.loads(str(payload["problem_fingerprint"]))
+        for key in ("equilibrate", "ns_branch"):
+            want = str(getattr(p.config, key))
+            if key in have and have[key] != want:
+                print(f"error: slim cache was exported with {key}="
+                      f"{have[key]!r} but rehydrate flags say {want!r}; "
+                      "the stored truth would not match the re-assembled "
+                      "loads", file=sys.stderr)
+                return 1
+    import dataclasses as _dc
+    payload["problem_fingerprint"] = np.asarray(json.dumps(
+        {k: str(v) for k, v in _dc.asdict(p.config).items()},
+        sort_keys=True))
     for prefix in ("train", "val"):
         ck = f"{prefix}_batch_coeff_f"
         if ck in payload:
