@@ -986,6 +986,44 @@ class Problem:
         out["load"] = jnp.asarray(r0, dtype=dtype)
         return out
 
+    def defect_truth64(self, defect_batch: dict[str, Array]) -> np.ndarray:
+        """Exact PHYSICAL correction trajectory e* for a timedep_stokes
+        defect batch (host f64): the unique solution of the defect recursion
+
+            sys64 e_t = S64 e_{t-1} + dt * loadphys_t,   e_0 = 0
+
+        with loadphys the stored dr-scaled defect RHS unscaled back to
+        physical rows. One LU factorization amortized over B*T solves — the
+        labels for a SUPERVISED stage-2 cost T matvecs/solves per sample,
+        no Newton/FEniCS (cf. the reference's create_data.py solves). The
+        returned (B, T+1, ng) includes the zero t=0 row so it matches the
+        trainer's truth[:, 1:T+1] slicing convention."""
+        import scipy.linalg as sla
+        import scipy.sparse as sp
+
+        c = self.config
+        if c.name != "timedep_stokes":
+            raise NotImplementedError(
+                "defect_truth64: exact defect solve implemented for "
+                f"timedep_stokes only (got {c.name!r})")
+        load_train = np.asarray(defect_batch["load"], dtype=np.float64)
+        if self.equil64 is not None:
+            load_train = load_train / self.equil64[0]
+        B, T, ng = load_train.shape
+        sys64 = self.sys64
+        S64 = self.S64
+        if sp.issparse(sys64):
+            sys64 = sys64.toarray()
+        if sp.issparse(S64):
+            S64 = S64.toarray()
+        ST = np.asarray(S64, dtype=np.float64).T
+        lu = sla.lu_factor(np.asarray(sys64, dtype=np.float64))
+        e = np.zeros((B, T + 1, ng), dtype=np.float64)
+        for t in range(T):
+            rhs = e[:, t] @ ST + c.dt * load_train[:, t]
+            e[:, t + 1] = sla.lu_solve(lu, rhs.T).T
+        return e
+
     def shift_output(self, out: Array, batch: dict[str, Array]) -> Array:
         """stokes_shift: add the Stokes solution in TRAINING coordinates to
         the network output (which then represents only the convection

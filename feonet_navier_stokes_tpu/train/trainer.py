@@ -123,6 +123,15 @@ class TrainConfig:
     # frozen stage-1 predictions (Problem.defect_batch64) — label-free
     # boosting; the combined prediction is unmap(pred0 + e). 0 = off.
     cascade_epochs: int = 0
+    # Stage-2 (cascade) objective. 'residual' = label-free defect residual
+    # (default, r3 behavior). 'supervised' = MSE against the EXACT defect
+    # solution (Problem.defect_truth64 — for timedep_stokes the labels cost
+    # T back-solves on the already-factorized system, no extra data
+    # generation), optionally p-weighted via ProblemConfig.p_weight: the
+    # label-free equation metric drives ABSOLUTE errors uniformly, leaving
+    # the small-norm pressure component's RELATIVE error floored ~0.017
+    # (r3 td_cascade7/8) — the supervised metric can weight it directly.
+    cascade_loss_mode: str = "residual"
     # Label-free infinite-data regime: redraw the ENTIRE training batch every
     # N epochs (fresh forcing/IC samples + host-f64 loads). The residual
     # objective needs no labels, so the effective training set is unbounded —
@@ -352,7 +361,17 @@ class Trainer:
             return self.problem.loss(out, batch, ops) + pen, new_bs
         # supervised/hybrid: compare in SOLUTION coordinates (after unmap)
         pred = self.problem.unmap(out, ops)
-        sup = jnp.mean(jnp.square(pred - batch["truth"]))
+        err2 = jnp.square(pred - batch["truth"])
+        pw = self.problem.config.p_weight
+        if pw != 1.0:
+            # per-component weighting of the supervised metric (p block
+            # scaled by p_weight) — targets the relative-pressure floor the
+            # unweighted MSE leaves (TrainConfig.cascade_loss_mode docs)
+            n2 = self.problem.n2
+            w = np.ones(err2.shape[-1], dtype=np.float32)
+            w[2 * n2:] = pw
+            err2 = err2 * jnp.asarray(w, dtype=err2.dtype)
+        sup = jnp.mean(err2)
         if mode == "supervised":
             return sup + pen, new_bs
         if mode == "hybrid":
@@ -738,12 +757,21 @@ class Trainer:
         import dataclasses as _dc
 
         p = self.problem
-        pred0_tr = self._raw_forward(train_ds.batch)
-        train2 = Dataset(p.defect_batch64(train_ds.batch, pred0_tr), None)
+        sup2 = self.config.cascade_loss_mode == "supervised"
+
+        def make_stage2_ds(batch) -> Dataset:
+            pred0 = self._raw_forward(batch)
+            d = p.defect_batch64(batch, pred0)
+            # supervised stage 2: exact defect labels (host f64 back-solves
+            # on the already-factorized system — see defect_truth64)
+            return Dataset(d, p.defect_truth64(d) if sup2 else None)
+
+        train2 = make_stage2_ds(train_ds.batch)
         chunked = bool(self.config.resample_every)
         tc2 = _dc.replace(
             self.config, epochs=epochs, cascade_epochs=0,
-            seed=self.config.seed + 1, loss_mode="residual",
+            seed=self.config.seed + 1,
+            loss_mode="supervised" if sup2 else "residual",
             # resampling is stage-1-only: a resampled batch is a FRESH draw
             # of the original problem, not a defect batch — training stage 2
             # on it silently replaces the correction objective with the
@@ -793,8 +821,7 @@ class Trainer:
                 if done < epochs:
                     key = jax.random.PRNGKey(self.config.seed + 7000 + done)
                     fresh = p.sample_batch(key, train_ds.n)
-                    pred0 = self._raw_forward(fresh)
-                    train2 = Dataset(p.defect_batch64(fresh, pred0), None)
+                    train2 = make_stage2_ds(fresh)
                 if verbose and done % max(every * 10, 1) < every:
                     # history may end with a guard/restore record (no 'loss')
                     last = next((h["loss"] for h in

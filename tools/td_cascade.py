@@ -48,6 +48,17 @@ def main() -> int:
     ap.add_argument("--rollout-metric", default="equation",
                     choices=["equation", "physical"])
     ap.add_argument("--p-weight", type=float, default=1.0)
+    # 'net'   — train a stage-2 network (default; objective per
+    #           --cascade-loss-mode).
+    # 'exact' — no training: combined = stage-1 + the EXACT defect solution
+    #           (Problem.defect_truth64), the timedep analog of the steady
+    #           surrogate+refine_ns deployment path. Per-sample inference
+    #           cost is T back-solves on the already-factorized system.
+    ap.add_argument("--stage2", default="net", choices=["net", "exact"])
+    # stage-2 training objective: label-free defect residual, or supervised
+    # MSE against the exact defect labels (TrainConfig.cascade_loss_mode)
+    ap.add_argument("--cascade-loss-mode", default="residual",
+                    choices=["residual", "supervised"])
     ap.add_argument("--model", default="RNN")
     ap.add_argument("--model-kwargs", default='{"hidden":1024}')
     ap.add_argument("--num-train", type=int, default=0,
@@ -83,6 +94,7 @@ def main() -> int:
         epochs=args.cascade_epochs, eval_every=args.eval_every,
         loss_mode="residual", truth_for_train=False,
         resample_every=args.resample_every,
+        cascade_loss_mode=args.cascade_loss_mode,
         log_path=args.log,
     )
     trainer = Trainer(p, tc)
@@ -104,10 +116,29 @@ def main() -> int:
             None,
         )
         print(f"sliced train batch to {args.num_train}", flush=True)
-    rec = trainer.cascade(train_ds, val_ds, args.cascade_epochs)
-    if args.ckpt_dir:
-        print("stage-2 checkpoint:",
-              trainer.stage2.save_checkpoint(args.ckpt_dir), flush=True)
+    if args.stage2 == "exact":
+        from feonet_navier_stokes_tpu.train.metrics import (
+            component_errors, trajectory_rel_l2)
+
+        pred0_val = trainer._raw_forward(val_ds.batch)
+        d = p.defect_batch64(val_ds.batch, pred0_val)
+        e_star = p.defect_truth64(d)  # (B, T+1, ng) physical, e*_0 = 0
+        combined = np.asarray(p.unmap(pred0_val)) + e_star[:, 1:]
+        truth = np.asarray(val_ds.truth)
+        ref = truth[:, 1: combined.shape[1] + 1]
+        rec = {"stage2": "exact",
+               "traj_rel_l2": float(trajectory_rel_l2(combined, ref))}
+        rec.update({k: float(v) for k, v in component_errors(
+            combined.reshape(-1, combined.shape[-1]),
+            ref.reshape(-1, ref.shape[-1]), p.n2).items()})
+        print("exact-corrector combined: "
+              + " ".join(f"{k}={v:.4e}" for k, v in rec.items()
+                         if k != "stage2"), flush=True)
+    else:
+        rec = trainer.cascade(train_ds, val_ds, args.cascade_epochs)
+        if args.ckpt_dir:
+            print("stage-2 checkpoint:",
+                  trainer.stage2.save_checkpoint(args.ckpt_dir), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"ckpt": args.ckpt, "cascade_epochs": args.cascade_epochs,
