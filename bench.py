@@ -52,7 +52,8 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip (f32 via bf16 passes)
 def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
                    filters: int = 32, dtype_name: str = "float32",
                    pad_ng: bool = False, moment_dtype: str = "float32",
-                   optimizer: str = "adam", head_rank: int = 0):
+                   optimizer: str = "adam", head_rank: int = 0,
+                   head_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def _build_trainer(nx: int, batch: int, resol: int, op_format: str = "dense",
         moment_dtype=moment_dtype,
         model_kwargs={"filters": filters, "kernel_size": 5,
                       "head_rank": head_rank,
+                      "head_dtype": getattr(jnp, head_dtype),
                       "compute_dtype": getattr(jnp, dtype_name)},
     )
     trainer = Trainer(problem, tc)

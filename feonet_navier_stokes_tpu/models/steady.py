@@ -45,7 +45,14 @@ class Net2D(nn.Module):
     stretch config the monolithic head is ~150M params and the train step is
     ~55% optimizer HBM traffic (docs/performance.md §BSR); rank r cuts head
     params (and their Adam/adafactor traffic AND all three matmul passes)
-    by ~flatten*d_out / (r*(flatten+d_out))."""
+    by ~flatten*d_out / (r*(flatten+d_out)).
+
+    ``head_dtype`` (TPU-first addition): bfloat16 runs the head matmuls
+    (fwd + both grad transposes) with bf16 operands on the MXU at 2x the
+    f32 rate and HALF the kernel's HBM read traffic per pass — params stay
+    float32 (flax param_dtype), so the optimizer and checkpoints are exact;
+    MXU accumulation is f32. The UNCHANGED-model speed lever for the
+    HBM-bound 47k head (docs/performance.md §BSR)."""
 
     d_out: int
     filters: int = 32
@@ -54,6 +61,7 @@ class Net2D(nn.Module):
     pool: int = 0
     head_rank: int = 0
     compute_dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -68,10 +76,12 @@ class Net2D(nn.Module):
                     **conv_inits(x, k))(x)
         for _ in range(self.pool):
             x = nn.max_pool(x, (2, 2), (2, 2))
-        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        hd = self.head_dtype
+        x = x.reshape(x.shape[0], -1).astype(hd)
         if self.head_rank > 0:
-            x = nn.Dense(self.head_rank, dtype=jnp.float32, **dense_inits(x))(x)
-        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
+            x = nn.Dense(self.head_rank, dtype=hd, **dense_inits(x))(x)
+        return nn.Dense(self.d_out, dtype=hd,
+                        **dense_inits(x))(x).astype(jnp.float32)
 
 
 class NetA(nn.Module):
@@ -222,7 +232,9 @@ class UNetHead(nn.Module):
     """Net2D-style conv head on the latent (network.py:216-240).
 
     ``head_rank`` factors the final Dense as in :class:`Net2D` — at 47k DoF
-    the monolithic flatten x d_out kernel is ~300M params."""
+    the monolithic flatten x d_out kernel is ~300M params. ``head_dtype``
+    = bfloat16 runs the head matmuls with bf16 operands / f32 params, as in
+    :class:`Net2D`."""
 
     d_out: int
     filters: int = 64
@@ -230,6 +242,7 @@ class UNetHead(nn.Module):
     blocks: int = 1
     head_rank: int = 0
     compute_dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -241,10 +254,12 @@ class UNetHead(nn.Module):
             x = nn.silu(nn.Conv(self.filters, k, padding="SAME", dtype=cd,
                                 **conv_inits(x, k))(x))
         x = nn.Conv(self.filters, k, padding="SAME", dtype=cd, **conv_inits(x, k))(x)
-        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        hd = self.head_dtype
+        x = x.reshape(x.shape[0], -1).astype(hd)
         if self.head_rank > 0:
-            x = nn.Dense(self.head_rank, dtype=jnp.float32, **dense_inits(x))(x)
-        return nn.Dense(self.d_out, dtype=jnp.float32, **dense_inits(x))(x)
+            x = nn.Dense(self.head_rank, dtype=hd, **dense_inits(x))(x)
+        return nn.Dense(self.d_out, dtype=hd,
+                        **dense_inits(x))(x).astype(jnp.float32)
 
 
 class UNetWithHead(nn.Module):
@@ -260,6 +275,7 @@ class UNetWithHead(nn.Module):
     head_blocks: int = 1
     head_rank: int = 0
     compute_dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -273,4 +289,5 @@ class UNetWithHead(nn.Module):
             self.head_blocks,
             self.head_rank,
             self.compute_dtype,
+            self.head_dtype,
         )(latent)
