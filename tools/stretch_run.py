@@ -55,6 +55,10 @@ def main() -> int:
                          "ne=450 (runs/r2/ns450_sup_unet_result.json); "
                          "--filters maps to its head_filters")
     ap.add_argument("--filters", type=int, default=8)
+    ap.add_argument("--model-kwargs", default="",
+                    help="JSON merged OVER the per-model defaults (e.g. "
+                         '\'{"head_rank": 512, "head_dtype": "bfloat16"}\' '
+                         "for the 47k head A/Bs)")
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--loss-mode", default="residual",
                     choices=["residual", "supervised", "hybrid"])
@@ -121,6 +125,8 @@ def main() -> int:
             "filters": args.filters, "kernel_size": 5,
             **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
         }
+    if args.model_kwargs:
+        model_kwargs.update(json.loads(args.model_kwargs))
     tc = TrainConfig(
         model=args.model,
         lr=args.lr,
