@@ -128,3 +128,49 @@ def test_cascade_stage2_never_resamples():
     truth = p.ground_truth(batch, n_steps=3)
     tr.cascade(Dataset(batch, None), Dataset(batch, truth), epochs=4)
     assert tr.stage2.config.resample_every == 0
+
+
+def test_defect_truth64_exactness():
+    """defect_truth64 must return the EXACT physical correction: stage-1 +
+    e* reproduces the f64 ground-truth trajectory to f32-rollout accuracy,
+    and e* zeroes the stage-2 rollout loss (mapped to training coords)."""
+    from feonet_navier_stokes_tpu.train.metrics import trajectory_rel_l2
+
+    p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,
+                                    forcing="five", seq_len=5,
+                                    equilibrate=True, precond_mode="exact"))
+    batch = p.sample_batch(jax.random.PRNGKey(3), 3)
+    truth = p.ground_truth(batch, n_steps=5)  # (B, T+1, ng) physical f64
+    rng = np.random.default_rng(11)
+    pred0 = jnp.asarray(rng.standard_normal((3, 5, p.d_out)) * 0.1,
+                        jnp.float32)
+    d = p.defect_batch64(batch, pred0)
+    e_star = p.defect_truth64(d)  # (B, T+1, ng) physical, e*_0 = 0
+    assert e_star.shape == (3, 6, p.ng)
+    assert np.all(e_star[:, 0] == 0.0)
+    combined = np.asarray(p.unmap(pred0)) + e_star[:, 1:]
+    err = float(trajectory_rel_l2(combined, truth[:, 1:]))
+    assert err < 1e-5, err
+
+
+def test_cascade_supervised_mode():
+    """cascade_loss_mode='supervised' builds a labeled stage-2 dataset and
+    trains on the physical-MSE objective (p-weight aware)."""
+    from feonet_navier_stokes_tpu.train import Dataset, Trainer, TrainConfig
+
+    p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,
+                                    forcing="five", seq_len=3,
+                                    equilibrate=True, precond_mode="exact",
+                                    p_weight=4.0))
+    tc = TrainConfig(model="RNN", model_kwargs={"hidden": 8}, epochs=4,
+                     eval_every=4, loss_mode="residual", truth_for_train=False,
+                     resample_every=2, cascade_loss_mode="supervised", lr=1e-3)
+    tr = Trainer(p, tc)
+    batch = p.sample_batch(jax.random.PRNGKey(0), 2)
+    truth = p.ground_truth(batch, n_steps=3)
+    rec = tr.cascade(Dataset(batch, None), Dataset(batch, truth), epochs=4)
+    assert tr.stage2.config.loss_mode == "supervised"
+    # chunked stage 2 disables cross-chunk best-tracking/divergence guard
+    assert tr.stage2.config.track_best is False
+    assert tr.stage2.config.divergence_factor == 0.0
+    assert "traj_rel_l2" in rec

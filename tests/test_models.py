@@ -216,3 +216,23 @@ def test_factored_head_rank():
     heads = vu["params"]["UNetHead_0"]
     assert heads["Dense_0"]["kernel"].shape[1] == 8
     assert heads["Dense_1"]["kernel"].shape == (8, 32)
+
+
+def test_head_dtype_bf16():
+    """head_dtype=bf16 runs the head matmuls in bfloat16 but keeps params
+    (and the model OUTPUT) float32 — master weights stay exact for the
+    optimizer; only operand traffic/MXU rate change."""
+    m = build_model("Net2D", d_out=16, filters=4,
+                    head_dtype=jnp.bfloat16)
+    v = m.init(KEY, jnp.zeros((1, 10, 10, 2)))
+    assert v["params"]["Dense_0"]["kernel"].dtype == jnp.float32
+    out = _apply(m, v, jnp.ones((2, 10, 10, 2)))
+    assert out.dtype == jnp.float32 and out.shape == (2, 16)
+
+    u = build_model("UNetWithHead", d_out=8, base_ch=4, latent_ch=4,
+                    head_filters=4, head_dtype=jnp.bfloat16)
+    vu = u.init(KEY, jnp.zeros((1, 16, 16, 2)))
+    assert (vu["params"]["UNetHead_0"]["Dense_0"]["kernel"].dtype
+            == jnp.float32)
+    out = _apply(u, vu, jnp.ones((2, 16, 16, 2)))
+    assert out.dtype == jnp.float32 and out.shape == (2, 8)
