@@ -26,6 +26,8 @@ __all__ = [
     "set_linear_map_params",
     "linear_step_exact",
     "set_linear_step_params",
+    "defect_linear_fit",
+    "apply_defect_fit",
 ]
 
 
@@ -124,6 +126,70 @@ def linear_step_exact(problem) -> dict[str, Any]:
         "kernel_step": np.asarray(W_step.T, dtype=np.float32),
         "bias_step": np.asarray(b_step, dtype=np.float32),
     }
+
+
+def defect_linear_fit(
+    stage1_trainer,
+    n_samples: int = 3000,
+    ridge: float = 1e-8,
+    seed: int = 9000,
+    chunk: int = 512,
+) -> dict[str, Any]:
+    """Closed-form affine stage-2 for the timedep cascade: fit the map
+
+        u_init  ->  e*(u_init)   (the PHYSICAL defect trajectory of the
+                                  frozen stage-1, (T, ng) flattened)
+
+    by ridge least squares over fresh draws. Rationale (measured, ne=200):
+    timedep_stokes is linear, and the trained stage-1 RNN is near-linear in
+    u_init, so the defect is linear to ~1.5e-7 — while a stage-2 RNN trained
+    by Adam leaves the pressure component untouched (p 0.017 across
+    residual/supervised objectives, runs/r4/td_sup_result.json). The labels
+    are the framework's own exact defect solutions (Problem.defect_truth64:
+    T back-solves on one LU factorization — no extra data generation), so
+    the fit costs seconds. Inference is ONE affine map after the stage-1
+    forward: no solver in the deployment path, unlike --stage2 exact.
+
+    Normal-equation solve, output columns chunked: W is (ng+1) x (T*ng)
+    (~10M params at ne=200, ~100M at T=100) — the Gram matrix is tiny
+    ((ng+1)^2) but Y is large, so X^T Y is accumulated in column chunks.
+
+    Returns {'W': (d_in+1, T*ng) f32, 'shape': (T, ng), 'fit_rel': float}.
+    """
+    import jax
+
+    p = stage1_trainer.problem
+    if p.config.name != "timedep_stokes":
+        raise ValueError("defect_linear_fit requires timedep_stokes "
+                         f"(got {p.config.name!r})")
+    key = jax.random.PRNGKey(seed)
+    batch = p.sample_batch(key, n_samples)
+    pred0 = stage1_trainer._raw_forward(batch)
+    d = p.defect_batch64(batch, pred0)
+    e_star = p.defect_truth64(d)[:, 1:]  # (B, T, ng) physical
+    B, T, ng = e_star.shape
+    X = np.asarray(batch["u_init"], dtype=np.float64)
+    X = np.concatenate([X, np.ones((B, 1))], axis=1)
+    G = X.T @ X + ridge * np.eye(X.shape[1])
+    import scipy.linalg as sla
+
+    cho = sla.cho_factor(G)
+    Y = e_star.reshape(B, T * ng)
+    W = np.empty((X.shape[1], T * ng), dtype=np.float64)
+    for j in range(0, T * ng, chunk * 128):
+        sl = slice(j, min(j + chunk * 128, T * ng))
+        W[:, sl] = sla.cho_solve(cho, X.T @ Y[:, sl])
+    fit_rel = float(np.linalg.norm(X @ W - Y) / np.linalg.norm(Y))
+    return {"W": W.astype(np.float32), "shape": (T, ng), "fit_rel": fit_rel}
+
+
+def apply_defect_fit(fit: dict[str, Any], u_init) -> np.ndarray:
+    """Evaluate the affine stage-2: (B, d_in) u_init -> (B, T, ng) physical
+    correction (float32 inference, like any deployed head)."""
+    X = np.asarray(u_init, dtype=np.float32)
+    X = np.concatenate([X, np.ones((X.shape[0], 1), np.float32)], axis=1)
+    T, ng = fit["shape"]
+    return (X @ fit["W"]).reshape(X.shape[0], T, ng)
 
 
 def set_linear_step_params(trainer, fit: dict[str, Any]) -> None:

@@ -48,13 +48,23 @@ def main() -> int:
     ap.add_argument("--rollout-metric", default="equation",
                     choices=["equation", "physical"])
     ap.add_argument("--p-weight", type=float, default=1.0)
-    # 'net'   — train a stage-2 network (default; objective per
-    #           --cascade-loss-mode).
-    # 'exact' — no training: combined = stage-1 + the EXACT defect solution
-    #           (Problem.defect_truth64), the timedep analog of the steady
-    #           surrogate+refine_ns deployment path. Per-sample inference
-    #           cost is T back-solves on the already-factorized system.
-    ap.add_argument("--stage2", default="net", choices=["net", "exact"])
+    # 'net'    — train a stage-2 network (default; objective per
+    #            --cascade-loss-mode).
+    # 'exact'  — no training: combined = stage-1 + the EXACT defect solution
+    #            (Problem.defect_truth64), the timedep analog of the steady
+    #            surrogate+refine_ns deployment path. Per-sample inference
+    #            cost is T back-solves on the already-factorized system.
+    # 'linfit' — closed-form affine stage-2 (linalg/linear_fit.py:
+    #            defect_linear_fit): ridge-lstsq u_init -> defect trajectory
+    #            over fresh draws. Solver-free inference; kills the pressure
+    #            floor a trained stage-2 RNN leaves (p 0.017, both
+    #            objectives — runs/r4/td_sup_result.json).
+    ap.add_argument("--stage2", default="net",
+                    choices=["net", "exact", "linfit"])
+    ap.add_argument("--fit-samples", type=int, default=3000)
+    ap.add_argument("--fit-ridge", type=float, default=1e-8)
+    ap.add_argument("--fit-out", default=None,
+                    help="save the fitted stage-2 W (npz) for deployment")
     # stage-2 training objective: label-free defect residual, or supervised
     # MSE against the exact defect labels (TrainConfig.cascade_loss_mode)
     ap.add_argument("--cascade-loss-mode", default="residual",
@@ -116,24 +126,40 @@ def main() -> int:
             None,
         )
         print(f"sliced train batch to {args.num_train}", flush=True)
-    if args.stage2 == "exact":
+    if args.stage2 in ("exact", "linfit"):
         from feonet_navier_stokes_tpu.train.metrics import (
             component_errors, trajectory_rel_l2)
 
         pred0_val = trainer._raw_forward(val_ds.batch)
-        d = p.defect_batch64(val_ds.batch, pred0_val)
-        e_star = p.defect_truth64(d)  # (B, T+1, ng) physical, e*_0 = 0
-        combined = np.asarray(p.unmap(pred0_val)) + e_star[:, 1:]
+        rec = {"stage2": args.stage2}
+        if args.stage2 == "exact":
+            d = p.defect_batch64(val_ds.batch, pred0_val)
+            corr = p.defect_truth64(d)[:, 1:]  # exact e*, (B, T, ng)
+        else:
+            from feonet_navier_stokes_tpu.linalg.linear_fit import (
+                apply_defect_fit, defect_linear_fit)
+
+            fit = defect_linear_fit(trainer, n_samples=args.fit_samples,
+                                    ridge=args.fit_ridge)
+            rec["fit_rel"] = fit["fit_rel"]
+            rec["fit_samples"] = args.fit_samples
+            print(f"defect_linear_fit: train fit_rel={fit['fit_rel']:.3e}",
+                  flush=True)
+            corr = apply_defect_fit(fit, val_ds.batch["u_init"])
+            if args.fit_out:
+                np.savez_compressed(args.fit_out, **{
+                    "W": fit["W"], "shape": np.asarray(fit["shape"])})
+                print(f"saved stage-2 affine map -> {args.fit_out}")
+        combined = np.asarray(p.unmap(pred0_val)) + corr
         truth = np.asarray(val_ds.truth)
         ref = truth[:, 1: combined.shape[1] + 1]
-        rec = {"stage2": "exact",
-               "traj_rel_l2": float(trajectory_rel_l2(combined, ref))}
+        rec["traj_rel_l2"] = float(trajectory_rel_l2(combined, ref))
         rec.update({k: float(v) for k, v in component_errors(
             combined.reshape(-1, combined.shape[-1]),
             ref.reshape(-1, ref.shape[-1]), p.n2).items()})
-        print("exact-corrector combined: "
+        print(f"{args.stage2}-corrector combined: "
               + " ".join(f"{k}={v:.4e}" for k, v in rec.items()
-                         if k != "stage2"), flush=True)
+                         if k not in ("stage2",)), flush=True)
     else:
         rec = trainer.cascade(train_ds, val_ds, args.cascade_epochs)
         if args.ckpt_dir:
