@@ -28,6 +28,8 @@ __all__ = [
     "set_linear_step_params",
     "defect_linear_fit",
     "apply_defect_fit",
+    "defect_step_fit",
+    "apply_defect_step_fit",
 ]
 
 
@@ -181,6 +183,95 @@ def defect_linear_fit(
         W[:, sl] = sla.cho_solve(cho, X.T @ Y[:, sl])
     fit_rel = float(np.linalg.norm(X @ W - Y) / np.linalg.norm(Y))
     return {"W": W.astype(np.float32), "shape": (T, ng), "fit_rel": fit_rel}
+
+
+def defect_step_fit(
+    stage1_trainer,
+    n_samples: int = 800,
+    ridge: float = 0.0,
+    seed: int = 9100,
+) -> dict[str, Any]:
+    """Closed-form LINEAR-RECURRENCE stage-2 for the timedep cascade.
+
+    The exact defect trajectory of ANY frozen stage-1 obeys (see
+    Problem.defect_truth64)
+
+        sys · e_t = S · e_{t-1} + dt · r_t,        e_0 = 0,
+
+    with r_t the stage-1 equation residual (a matvec of known assembled
+    operators — label-free at inference). The map (e_{t-1}, r_t) -> e_t is
+    therefore EXACTLY linear and shared across all samples and all steps, so
+    one least-squares fit over exact-defect-labeled rows recovers it to
+    floating-point precision:
+
+        e_t = [e_{t-1} | r_t | 1] @ W,             W: (2·ng+1, ng).
+
+    Unlike ``defect_linear_fit`` (affine in u_init, blind to the ~39% of the
+    defect that is stage-1 nonlinearity), this closes the gap to the exact
+    corrector: the fitted recurrence IS the discrete propagator expressed as
+    a one-layer linear RNN (the LinearStep model class of
+    models/temporal.py), trained in closed form instead of 60k Adam steps.
+    Inference = stage-1 forward + T residual matvecs + T (ng x ng) matmuls —
+    no factorization or solver in the deployment path.
+
+    Labels come from the framework's own exact defect solves
+    (Problem.defect_truth64); the reference has no counterpart — its
+    time-dependent training (FEONet_time_dep_Stokes/train_FEONet.py:343-406)
+    never corrects a trained model, and its accuracy floors at the network
+    optimization error this construction removes.
+
+    Returns {'W': (2·ng+1, ng) f32, 'ng': ng, 'fit_rel': float}.
+    """
+    import jax
+
+    p = stage1_trainer.problem
+    if p.config.name != "timedep_stokes":
+        raise ValueError("defect_step_fit requires timedep_stokes "
+                         f"(got {p.config.name!r})")
+    key = jax.random.PRNGKey(seed)
+    batch = p.sample_batch(key, n_samples)
+    pred0 = stage1_trainer._raw_forward(batch)
+    d = p.defect_batch64(batch, pred0)
+    e = p.defect_truth64(d)  # (B, T+1, ng) physical, e_0 = 0
+    r = np.asarray(d["load"], dtype=np.float64)
+    if p.equil64 is not None:
+        r = r / p.equil64[0]  # back to physical rows
+    B, T, ng = r.shape
+    n_rows = B * T
+    if n_rows < 2 * ng + 1:
+        raise ValueError(
+            f"need n_samples*T >= 2*ng+1 rows to identify the step map "
+            f"(have {n_rows}, need {2 * ng + 1})")
+    X = np.concatenate(
+        [e[:, :-1].reshape(n_rows, ng), r.reshape(n_rows, ng),
+         np.ones((n_rows, 1))], axis=1)
+    Y = e[:, 1:].reshape(n_rows, ng)
+    if ridge > 0:
+        G = X.T @ X + ridge * np.eye(X.shape[1])
+        W = np.linalg.solve(G, X.T @ Y)
+    else:
+        W, *_ = np.linalg.lstsq(X, Y, rcond=None)
+    fit_rel = float(np.linalg.norm(X @ W - Y) / np.linalg.norm(Y))
+    return {"W": W.astype(np.float32), "ng": ng, "fit_rel": fit_rel}
+
+
+def apply_defect_step_fit(
+    fit: dict[str, Any], problem, defect_batch: dict[str, Any]
+) -> np.ndarray:
+    """Roll out the fitted stage-2 recurrence (float32 inference, like any
+    deployed head): defect_batch['load'] -> (B, T, ng) physical correction."""
+    r = np.asarray(defect_batch["load"], dtype=np.float32)
+    if problem.equil64 is not None:
+        r = r / problem.equil64[0].astype(np.float32)
+    B, T, ng = r.shape
+    W = fit["W"]
+    out = np.empty((B, T, ng), dtype=np.float32)
+    e = np.zeros((B, ng), dtype=np.float32)
+    ones = np.ones((B, 1), dtype=np.float32)
+    for t in range(T):
+        e = np.concatenate([e, r[:, t], ones], axis=1) @ W
+        out[:, t] = e
+    return out
 
 
 def apply_defect_fit(fit: dict[str, Any], u_init) -> np.ndarray:

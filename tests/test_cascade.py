@@ -153,6 +153,36 @@ def test_defect_truth64_exactness():
     assert err < 1e-5, err
 
 
+def test_defect_step_fit_recovers_propagator():
+    """defect_step_fit must identify the discrete defect propagator from
+    exact-defect-labeled rows: the fit is near machine precision, and the
+    rolled-out f32 recurrence corrects an UNTRAINED stage-1 to f32-rollout
+    accuracy (the closed-form LinearStep stage-2)."""
+    from feonet_navier_stokes_tpu.linalg.linear_fit import (
+        apply_defect_step_fit, defect_step_fit)
+    from feonet_navier_stokes_tpu.train import Trainer, TrainConfig
+    from feonet_navier_stokes_tpu.train.metrics import trajectory_rel_l2
+
+    p = build_problem(ProblemConfig(name="timedep_stokes", bc="lower", nx=4,
+                                    forcing="five", seq_len=5,
+                                    equilibrate=True, precond_mode="exact"))
+    tc = TrainConfig(model="RNN", model_kwargs={"hidden": 8}, epochs=1,
+                     loss_mode="residual", truth_for_train=False)
+    tr = Trainer(p, tc)
+    n_fit = (2 * p.ng + 1) // 5 + 20  # rows = n*T must exceed 2*ng+1
+    fit = defect_step_fit(tr, n_samples=n_fit)
+    assert fit["fit_rel"] < 1e-5, fit["fit_rel"]
+
+    batch = p.sample_batch(jax.random.PRNGKey(8), 3)
+    truth = p.ground_truth(batch, n_steps=5)
+    pred0 = tr._raw_forward(batch)
+    d = p.defect_batch64(batch, pred0)
+    corr = apply_defect_step_fit(fit, p, d)
+    combined = np.asarray(p.unmap(pred0)) + corr
+    err = float(trajectory_rel_l2(combined, truth[:, 1:]))
+    assert err < 1e-4, err
+
+
 def test_cascade_supervised_mode():
     """cascade_loss_mode='supervised' builds a labeled stage-2 dataset and
     trains on the physical-MSE objective (p-weight aware)."""

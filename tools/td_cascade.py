@@ -59,8 +59,12 @@ def main() -> int:
     #            over fresh draws. Solver-free inference; kills the pressure
     #            floor a trained stage-2 RNN leaves (p 0.017, both
     #            objectives — runs/r4/td_sup_result.json).
+    # 'stepfit' — closed-form LinearStep recurrence (defect_step_fit): the
+    #            defect dynamics (e_{t-1}, r_t) -> e_t is exactly linear, so
+    #            one lstsq recovers the propagator; solver-free inference
+    #            (matmuls only) at exact-corrector accuracy.
     ap.add_argument("--stage2", default="net",
-                    choices=["net", "exact", "linfit"])
+                    choices=["net", "exact", "linfit", "stepfit"])
     ap.add_argument("--fit-samples", type=int, default=3000)
     ap.add_argument("--fit-ridge", type=float, default=1e-8)
     ap.add_argument("--fit-out", default=None,
@@ -108,7 +112,15 @@ def main() -> int:
         log_path=args.log,
     )
     trainer = Trainer(p, tc)
-    trainer.load_checkpoint(args.ckpt)
+    if args.ckpt.endswith(".npz"):
+        # slim params-only snapshot (tools/slim_ckpt.py) — the only stage-1
+        # form that survives a VM loss (orbax ckpt dirs are gitignored)
+        from tools.slim_ckpt import load_params_npz
+
+        loaded = load_params_npz(args.ckpt)
+        trainer.state = trainer.state.replace(params=loaded["params"])
+    else:
+        trainer.load_checkpoint(args.ckpt)
     print(f"loaded stage-1 checkpoint {args.ckpt}", flush=True)
 
     z = np.load(args.data_cache, allow_pickle=True)
@@ -126,7 +138,7 @@ def main() -> int:
             None,
         )
         print(f"sliced train batch to {args.num_train}", flush=True)
-    if args.stage2 in ("exact", "linfit"):
+    if args.stage2 in ("exact", "linfit", "stepfit"):
         from feonet_navier_stokes_tpu.train.metrics import (
             component_errors, trajectory_rel_l2)
 
@@ -135,6 +147,23 @@ def main() -> int:
         if args.stage2 == "exact":
             d = p.defect_batch64(val_ds.batch, pred0_val)
             corr = p.defect_truth64(d)[:, 1:]  # exact e*, (B, T, ng)
+        elif args.stage2 == "stepfit":
+            from feonet_navier_stokes_tpu.linalg.linear_fit import (
+                apply_defect_step_fit, defect_step_fit)
+
+            # pure lstsq (ridge=0): the step map is exactly identifiable and
+            # the normal-equation ridge path squares the conditioning
+            fit = defect_step_fit(trainer, n_samples=args.fit_samples)
+            rec["fit_rel"] = fit["fit_rel"]
+            rec["fit_samples"] = args.fit_samples
+            print(f"defect_step_fit: train fit_rel={fit['fit_rel']:.3e}",
+                  flush=True)
+            d = p.defect_batch64(val_ds.batch, pred0_val)
+            corr = apply_defect_step_fit(fit, p, d)
+            if args.fit_out:
+                np.savez_compressed(args.fit_out, **{
+                    "W": fit["W"], "ng": np.asarray(fit["ng"])})
+                print(f"saved stage-2 step map -> {args.fit_out}")
         else:
             from feonet_navier_stokes_tpu.linalg.linear_fit import (
                 apply_defect_fit, defect_linear_fit)
