@@ -68,6 +68,8 @@ def main() -> int:
                          "the Stokes solution)")
     ap.add_argument("--conv-ramp", type=int, default=0,
                     help="convection continuation: ramp gamma 0->1 over N epochs")
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="minibatch size (0 = full batch, the parity default)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--lr-schedule", default="cosine")
     ap.add_argument("--grad-clip", type=float, default=1.0)
@@ -135,6 +137,7 @@ def main() -> int:
     tc = TrainConfig(
         model=args.model,
         model_kwargs=model_kwargs,
+        batch_size=args.batch_size or None,
         lr=args.lr, lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
         moment_dtype=args.moment_dtype,
         ema_decay=args.ema_decay, epochs=args.epochs,
