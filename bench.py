@@ -113,6 +113,30 @@ def measure_steps_per_sec(trainer, batch_d, warm_steps: int = 30,
     return best
 
 
+def measure_scan_steps_per_sec(trainer, batch_d, block: int = 100,
+                               repeats: int = 3):
+    """Steps/s with K steps per device dispatch (TrainConfig.scan_steps
+    path): one RPC per block instead of per step, so the number measures the
+    CHIP's step rate, not the tunnel's round-trip latency. This is also the
+    shipped production path for dispatch-bound ms-scale steps."""
+    import jax
+
+    rng = jax.random.PRNGKey(2)
+    trainer.state, loss = trainer._train_scan(
+        trainer.state, batch_d, rng, trainer.ops, block, None)
+    jax.block_until_ready(loss)
+    best = 0.0
+    for _ in range(repeats):
+        rng, k = jax.random.split(rng)
+        t0 = time.perf_counter()
+        trainer.state, loss = trainer._train_scan(
+            trainer.state, batch_d, k, trainer.ops, block, None)
+        jax.block_until_ready(loss)
+        best = max(best, block / (time.perf_counter() - t0))
+    assert float(loss) == float(loss), "NaN loss in benchmark"
+    return best
+
+
 def measure_step_flops(trainer, batch_d) -> float | None:
     """XLA's own FLOP count for the jitted train step (None if unavailable)."""
     import jax
@@ -271,11 +295,21 @@ def main() -> int:
     flops = measure_step_flops(trainer, batch_d)
     if flops:
         out["mfu_pct"] = round(100.0 * flops * value / V5E_PEAK_FLOPS, 2)
+    # scan-block rate: 100 steps per dispatch — the chip's own step rate,
+    # free of the axon tunnel's per-dispatch RPC latency (and of its noise:
+    # the per-step numbers above swing 80-205 run-to-run on a quiesced chip)
+    scan_v = measure_scan_steps_per_sec(trainer, batch_d)
+    out["scan100_steps_per_sec"] = round(scan_v, 3)
+    if flops:
+        out["mfu_scan_pct"] = round(100.0 * flops * scan_v / V5E_PEAK_FLOPS, 2)
 
     # the unpadded step, for the tile-padding A/B
     _, tr_np, b_np = _build_trainer(nx=16, batch=1000, resol=20)
     out["unpadded_steps_per_sec"] = round(
         measure_steps_per_sec(tr_np, b_np, 20), 3
+    )
+    out["unpadded_scan100_steps_per_sec"] = round(
+        measure_scan_steps_per_sec(tr_np, b_np), 3
     )
 
     # bfloat16 compute-path variant (params stay f32)

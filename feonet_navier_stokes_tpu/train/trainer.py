@@ -57,6 +57,15 @@ class TrainConfig:
     moment_dtype: str = "float32"
     epochs: int = 2000
     batch_size: int | None = None  # None = full batch (reference default)
+    # >1: run K full-batch train steps per device dispatch (one jitted
+    # lax.scan block). The small-ng steps are ~2-3 ms of device time but the
+    # per-step dispatch RPC over a tunneled TPU costs 5-12 ms — scan blocks
+    # amortize one dispatch over K steps, so the chip runs at its compute
+    # rate instead of the host's round-trip latency. Identical math (the
+    # per-step RNG folds in the step index; schedules/EMA/nan-guard all key
+    # off state.step inside the block). Full-batch, non-lbfgs runs only;
+    # eval_every (and resample_every, if set) must be multiples of it.
+    scan_steps: int = 0
     num_train: int = 1000
     num_val: int = 1000
     seed: int = 0
@@ -276,7 +285,21 @@ class Trainer:
         # the same buffer to XLA twice, so only donate for the others.
         donate = () if self.is_lbfgs else (0,)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
+        self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=donate,
+                                   static_argnums=(4,))
         self._eval_forward = jax.jit(self._eval_forward_impl)
+        if c.scan_steps > 1:
+            if self.is_lbfgs:
+                raise ValueError("scan_steps is incompatible with lbfgs "
+                                 "(stateful linesearch)")
+            if c.eval_every % c.scan_steps:
+                raise ValueError(
+                    f"eval_every ({c.eval_every}) must be a multiple of "
+                    f"scan_steps ({c.scan_steps})")
+            if c.resample_every > 0 and c.resample_every % c.scan_steps:
+                raise ValueError(
+                    f"resample_every ({c.resample_every}) must be a "
+                    f"multiple of scan_steps ({c.scan_steps})")
 
         self.history: list[dict] = []
         # best-validation snapshot (track_best): {'metric', 'epoch', 'params',
@@ -443,6 +466,26 @@ class Trainer:
             )
         return new_state, loss
 
+    def _train_scan_impl(self, state: TrainState, batch, rng, ops,
+                         n_steps: int, res_batch=None):
+        """K full-batch train steps in ONE jitted program (lax.scan over
+        _train_step_impl). Same math as K per-epoch dispatches: the per-step
+        RNG is fold_in(rng, i), and the LR schedule / EMA warmup / conv-ramp
+        / nan-guard all read state.step, which increments inside the block.
+        One device dispatch per block instead of per step — the TPU-native
+        answer to ms-scale steps behind a high-latency host link (the
+        reference's per-step host loop has no analog of this,
+        FEONet_Stokes_square/train_FEONet.py:261-301)."""
+
+        def body(st, i):
+            st, loss = self._train_step_impl(
+                st, batch, jax.random.fold_in(rng, i), ops, res_batch
+            )
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return state, losses[-1]
+
     def _eval_forward_impl(self, state: TrainState, batch, ops):
         x = self.problem.model_input(batch, self.config.model)
         params = state.ema_params if self.use_ema else state.params
@@ -588,14 +631,20 @@ class Trainer:
         loss_min = np.inf  # running min of the eval-window loss (divergence guard)
         last_metric = np.inf
         tracing = False
+        # scan blocks: K steps per dispatch (see TrainConfig.scan_steps).
+        # Incompatible cadences are rejected in __init__; the profiler wants
+        # per-step dispatch boundaries, so it falls back to per-step mode.
+        scan = (c.scan_steps if (c.scan_steps > 1 and bs is None
+                                 and not c.profile_dir) else 0)
         try:
-            for epoch in range(1, epochs + 1):
-                if c.profile_dir and not tracing and epoch == 2:
+            epoch = 0  # completed epochs
+            while epoch < epochs:
+                if c.profile_dir and not tracing and epoch == 1:
                     jax.profiler.start_trace(c.profile_dir)
                     tracing = True
                 if (c.resample_every > 0 and bs is None
-                        and (epoch - 1) % c.resample_every == 0
-                        and epoch > 1):
+                        and epoch % c.resample_every == 0
+                        and epoch > 0):
                     resample_key, sub = jax.random.split(resample_key)
                     fresh = self.problem.sample_batch(
                         sub, n_res if split_hybrid else n)
@@ -606,11 +655,27 @@ class Trainer:
                     else:
                         batch = fresh
                 rng, step_rng = jax.random.split(rng)
-                if bs is None:
+                if scan:
+                    # block up to the next eval/resample/end boundary (the
+                    # cadence multiples validated in __init__ keep the set
+                    # of distinct block lengths — and thus compiles — tiny)
+                    nb = min(epochs,
+                             (epoch // c.eval_every + 1) * c.eval_every)
+                    if c.resample_every > 0:
+                        nb = min(nb, (epoch // c.resample_every + 1)
+                                 * c.resample_every)
+                    k = min(scan, nb - epoch)
+                    self.state, loss = self._train_scan(
+                        self.state, batch, step_rng, self.ops, k, res_batch
+                    )
+                    epoch += k
+                elif bs is None:
+                    epoch += 1
                     self.state, loss = self._train_step(
                         self.state, batch, step_rng, self.ops, res_batch
                     )
                 else:
+                    epoch += 1
                     idx = perm_rng.permutation(n)[: n_batches * bs].reshape(
                         n_batches, bs
                     )
@@ -912,8 +977,14 @@ class Trainer:
         import orbax.checkpoint as ocp
         from flax import serialization
 
-        with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(os.path.abspath(path))
+        if path.endswith(".npz"):
+            # slim params-only snapshot (tools/slim_ckpt.py export) — the
+            # only checkpoint form small enough to commit, hence the only
+            # one that survives a VM loss. Layout: 'params//<path>' keys.
+            restored = self._load_params_npz(path)
+        else:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(os.path.abspath(path))
         state = self.state
         restore_opt = not params_only and "opt_state" in restored
         if restore_opt:
@@ -947,3 +1018,29 @@ class Trainer:
                 )
             else:
                 self.state = replicate(self.state, self.mesh)
+
+    @staticmethod
+    def _load_params_npz(path: str) -> dict:
+        """Read a tools/slim_ckpt.py npz into {'params': tree[,
+        'batch_stats': tree], 'step': int} ('//'-separated key paths)."""
+        import numpy as np
+
+        z = np.load(path, allow_pickle=False)
+        groups: dict = {"params": {}, "batch_stats": {}}
+        step = 0
+        for key in z.files:
+            head, _, rest = key.partition("//")
+            if head == "step":
+                step = int(z[key])
+                continue
+            if head not in groups:
+                continue
+            node = groups[head]
+            parts = rest.split("//")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+        out = {"params": groups["params"], "step": step}
+        if groups["batch_stats"]:
+            out["batch_stats"] = groups["batch_stats"]
+        return out

@@ -676,3 +676,60 @@ def test_adafactor_optimizer():
         params, state = step(params, state)
     l1 = float(jnp.sum((params["w"] - 3.0) ** 2))
     assert l1 < 1e-3 * l0, (l0, l1)
+
+
+def test_scan_steps_matches_per_step(small_square):
+    """scan_steps correctness: K epochs in jitted scan blocks produce the
+    same training trajectory as K per-dispatch epochs (full batch, no
+    dropout -> the per-step rng is unused and the math is identical)."""
+    kw = dict(
+        model="FCNN", lr=1e-3, epochs=6, num_train=16, num_val=4,
+        eval_every=3, model_kwargs={"hidden_dims": (8, 8)}, seed=3,
+        data_parallel=False, track_best=False,
+    )
+    tr_a = Trainer(small_square, TrainConfig(**kw))
+    train_ds, val_ds = tr_a.make_datasets()
+    hist_a = tr_a.fit(train_ds, val_ds, verbose=False)
+    tr_b = Trainer(small_square, TrainConfig(**kw, scan_steps=3))
+    hist_b = tr_b.fit(train_ds, val_ds, verbose=False)
+    assert len(hist_a) == len(hist_b)
+    for ra, rb in zip(hist_a, hist_b):
+        assert ra["epoch"] == rb["epoch"]
+        # scan-body XLA fuses slightly differently than the standalone step
+        # (f32 reassociation), and the residual ops' conditioning amplifies
+        # it per step — the trajectories must TRACK, not match bitwise
+        np.testing.assert_allclose(ra["loss"], rb["loss"], rtol=5e-3)
+    pa = jax.tree.leaves(tr_a.state.params)
+    pb = jax.tree.leaves(tr_b.state.params)
+    for a, b in zip(pa, pb):
+        # Adam moves every element ~lr per step, and the scan body's XLA
+        # fusion reassociates f32 differently than the standalone step, so
+        # individual elements drift a few e-4 in 6 steps — require the
+        # PARAMETER VECTOR to agree in norm, not bitwise
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+        assert rel < 2e-2, rel  # wiring bugs (skipped/extra steps) give O(1)
+    assert int(tr_b.state.step) == 6
+
+
+def test_scan_steps_cadence_validation(small_square):
+    with pytest.raises(ValueError):
+        Trainer(small_square, TrainConfig(
+            model="FCNN", model_kwargs={"hidden_dims": (4,)},
+            eval_every=100, scan_steps=33))
+
+
+def test_scan_steps_with_resampling(small_square):
+    """Resampled label-free training under scan blocks: fresh batches still
+    arrive on the resample_every cadence (blocks never cross a boundary)."""
+    tc = TrainConfig(
+        model="FCNN", lr=1e-3, epochs=20, num_train=8, num_val=4,
+        eval_every=10, resample_every=10, scan_steps=5,
+        model_kwargs={"hidden_dims": (8,)}, data_parallel=False,
+        track_best=False,
+    )
+    tr = Trainer(small_square, tc)
+    train_ds, val_ds = tr.make_datasets()
+    hist = tr.fit(train_ds, val_ds, verbose=False)
+    assert hist[-1]["epoch"] == 20
+    assert int(tr.state.step) == 20

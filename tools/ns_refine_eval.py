@@ -39,6 +39,9 @@ def main() -> int:
                     help="bsr at the ~47k stretch scale: sparse-Newton "
                          "refinement (problems/base.py:refine_ns bsr branch)")
     ap.add_argument("--stokes-shift", action="store_true")
+    ap.add_argument("--bpx-levels", type=int, default=0,
+                    help="surrogate trained in BPX w-coordinates (network "
+                         "emits w, u = G w + u_bc)")
     ap.add_argument("--model", default="Net2D")
     ap.add_argument("--model-kwargs", default='{"filters": 32}')
     ap.add_argument("--loss-mode", default="residual")
@@ -60,7 +63,7 @@ def main() -> int:
         name="steady_ns", bc=args.bc, nx=args.nx,
         equilibrate=args.equilibrate, precond_mode=args.precond_mode,
         ns_branch="stable", stokes_shift=args.stokes_shift,
-        op_format=args.op_format,
+        op_format=args.op_format, bpx_levels=args.bpx_levels,
     ))
     z = np.load(args.data_cache, allow_pickle=True)
     f32 = jnp.float32

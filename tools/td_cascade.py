@@ -112,15 +112,9 @@ def main() -> int:
         log_path=args.log,
     )
     trainer = Trainer(p, tc)
-    if args.ckpt.endswith(".npz"):
-        # slim params-only snapshot (tools/slim_ckpt.py) — the only stage-1
-        # form that survives a VM loss (orbax ckpt dirs are gitignored)
-        from tools.slim_ckpt import load_params_npz
-
-        loaded = load_params_npz(args.ckpt)
-        trainer.state = trainer.state.replace(params=loaded["params"])
-    else:
-        trainer.load_checkpoint(args.ckpt)
+    # load_checkpoint handles both orbax dirs and slim params npz (the only
+    # stage-1 form that survives a VM loss — orbax ckpt dirs are gitignored)
+    trainer.load_checkpoint(args.ckpt)
     print(f"loaded stage-1 checkpoint {args.ckpt}", flush=True)
 
     z = np.load(args.data_cache, allow_pickle=True)
