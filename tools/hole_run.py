@@ -121,6 +121,7 @@ def cmd_train(args) -> int:
         num_train=n_train,
         num_val=int(z["val_truth"].shape[0]),
         eval_every=args.eval_every,
+        scan_steps=args.scan_steps,
         ckpt_dir=args.ckpt_dir,
         log_path=args.log,
         truth_for_train="train_truth" in z.files,
@@ -214,6 +215,8 @@ def main() -> int:
     t.add_argument("--hole-h", type=float, default=0.1205)
     t.add_argument("--op-format", default="dense", choices=["dense", "bsr"])
     t.add_argument("--eval-every", type=int, default=2000)
+    t.add_argument("--scan-steps", type=int, default=0,
+                   help="K train steps per device dispatch (lax.scan block; full-batch only)")
     t.add_argument("--ckpt-dir", default=None)
     t.add_argument("--log", default=None)
     t.add_argument("--out", default=None)

@@ -77,6 +77,10 @@ def main() -> int:
                     choices=["float32", "bfloat16"])
     ap.add_argument("--ema-decay", type=float, default=0.999)
     ap.add_argument("--eval-every", type=int, default=2000)
+    ap.add_argument("--scan-steps", type=int, default=0,
+                    help="K train steps per device dispatch (lax.scan block; "
+                         "full-batch only) — one host RPC per K steps, so "
+                         "the run is immune to host-side CPU contention")
     ap.add_argument("--init-from", default=None)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--log", default=None)
@@ -146,6 +150,7 @@ def main() -> int:
         resample_size=args.resample_size,
         conv_ramp_epochs=args.conv_ramp,
         num_train=train_ds.n, num_val=val_ds.n,
+        scan_steps=args.scan_steps,
         eval_every=args.eval_every, ckpt_dir=args.ckpt_dir,
         log_path=args.log, loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,

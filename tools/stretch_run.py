@@ -60,6 +60,8 @@ def main() -> int:
                          '\'{"head_rank": 512, "head_dtype": "bfloat16"}\' '
                          "for the 47k head A/Bs)")
     ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--scan-steps", type=int, default=0,
+                    help="K train steps per device dispatch (lax.scan block; full-batch only)")
     ap.add_argument("--loss-mode", default="residual",
                     choices=["residual", "supervised", "hybrid"])
     ap.add_argument("--residual-weight", type=float, default=1e-5,
@@ -137,6 +139,7 @@ def main() -> int:
         num_train=args.num_train,
         num_val=args.num_val,
         eval_every=args.eval_every,
+        scan_steps=args.scan_steps,
         log_path=args.log,
         loss_mode=args.loss_mode,
         residual_weight=args.residual_weight,
