@@ -200,6 +200,12 @@ class ProblemConfig:
     # nested-mesh hierarchy; stokes_hole uses the algebraic (vector-block
     # smoothed-aggregation) hierarchy in linalg/amg.py.
     bpx_levels: int = 0
+    # SA-AMG knobs for the algebraic (stokes_hole) BPX hierarchy only:
+    # strength-graph drop tolerance and prolongation-smoothing weight
+    # (linalg/amg.py sa_hierarchy). Ignored on the structured nested-mesh
+    # path.
+    amg_theta: float = 0.08
+    amg_omega: float = 2.0 / 3.0
     # Pad ng up to the next 128 multiple through the head + dense operators:
     # ng=2563 -> 2688 costs ~10% padded-out MXU work on the head and loss
     # matmuls when left to XLA's implicit tile padding (docs/performance.md
@@ -367,6 +373,7 @@ class Problem:
                 fac = bpx_factor_algebraic(
                     space, bc.mask, bc.values, mu, A64=A64,
                     max_levels=max(c.bpx_levels, 2),
+                    theta=c.amg_theta, omega=c.amg_omega,
                 )
             elif c.name not in ("stokes_square", "steady_ns"):
                 raise ValueError(

@@ -29,7 +29,8 @@ ART_DEFAULT = "artifacts/hole512_channel_grf.npz"
 
 def _problem(precond_iters: int = 0, interp: str = "cubic", resol_in: int = 50,
              bpx_levels: int = 0, hole_h: float = 0.1205,
-             op_format: str = "dense"):
+             op_format: str = "dense", amg_theta: float = 0.08,
+             amg_omega: float = 2.0 / 3.0):
     from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
 
     return build_problem(
@@ -37,6 +38,7 @@ def _problem(precond_iters: int = 0, interp: str = "cubic", resol_in: int = 50,
             name="stokes_hole", bc="channel_flow", forcing="grf",
             resol_in=resol_in, precond_iters=precond_iters, interp=interp,
             bpx_levels=bpx_levels, hole_h=hole_h, op_format=op_format,
+            amg_theta=amg_theta, amg_omega=amg_omega,
         )
     )
 
@@ -98,7 +100,8 @@ def cmd_train(args) -> int:
     # congruence — the stored BC-applied loads are exactly what the BPX loss
     # consumes, so the artifact datasets are reused as-is.
     p = _problem(interp=interp, resol_in=resol_in, bpx_levels=args.bpx_levels,
-                 hole_h=args.hole_h, op_format=args.op_format)
+                 hole_h=args.hole_h, op_format=args.op_format,
+                 amg_theta=args.amg_theta, amg_omega=args.amg_omega)
     if args.bpx_levels == 0:
         if "precond" not in z.files:
             raise SystemExit(f"{args.art} is a datasets-only artifact "
@@ -198,6 +201,11 @@ def main() -> int:
     t.add_argument("--interp", default=None, choices=["cubic", "linear"],
                    help="override the artifact's featurization method "
                         "(A/B: same GRF data, different interpolation)")
+    t.add_argument("--amg-theta", type=float, default=0.08,
+                   help="SA strength-graph drop tolerance (conditioning "
+                        "quality lever for the algebraic BPX)")
+    t.add_argument("--amg-omega", type=float, default=2.0 / 3.0,
+                   help="SA prolongation-smoothing weight")
     t.add_argument("--bpx-levels", type=int, default=0,
                    help="use the algebraic (SA-AMG) BPX congruence instead "
                         "of the artifact's dense SPAI")
