@@ -39,6 +39,8 @@ def main() -> int:
     ap.add_argument("--nx", type=int, default=8)
     ap.add_argument("--hole-h", type=float, default=0.1205)
     ap.add_argument("--bpx-levels", type=int, default=3)
+    ap.add_argument("--amg-theta", type=float, default=0.08)
+    ap.add_argument("--amg-omega", type=float, default=2.0 / 3.0)
     ap.add_argument("--op-format", default="dense")
     ap.add_argument("--max-dense", type=int, default=14000,
                     help="use exact dense SVD up to this m (memory: m^2 f64)")
@@ -57,6 +59,7 @@ def main() -> int:
         name=args.problem, bc=args.bc, nx=args.nx, hole_h=args.hole_h,
         forcing="grf" if args.problem == "stokes_hole" else None,
         bpx_levels=args.bpx_levels, op_format=args.op_format,
+        amg_theta=args.amg_theta, amg_omega=args.amg_omega,
     ))
     G = csr_matrix(p.bpx64.G)
     A = csr_matrix(p.A64)

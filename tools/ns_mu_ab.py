@@ -45,6 +45,10 @@ def main() -> int:
                     help="match a BPX-trained checkpoint (w-coordinate unmap)")
     ap.add_argument("--ns-branch", default="newton",
                     choices=["newton", "stable"])
+    ap.add_argument("--op-format", default="dense", choices=["dense", "bsr"],
+                    help="bsr at the ~47k stretch scale (a dense 47k^2 "
+                         "operator cannot be materialized); implies no "
+                         "equilibrate/precond, matching stretch_run ckpts")
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--n", type=int, default=100)
@@ -60,7 +64,7 @@ def main() -> int:
     t0 = time.time()
     base = dict(name="steady_ns", bc=args.bc, nx=args.nx,
                 equilibrate=args.equilibrate, precond_iters=args.precond,
-                ns_branch=args.ns_branch)
+                ns_branch=args.ns_branch, op_format=args.op_format)
     # p10 carries the full TRAINING config so --ckpt unmaps correctly;
     # p05 is truth-only (its training coordinates are never used)
     p10 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=1.0,
