@@ -68,3 +68,21 @@ def test_hole_bpx_training_runs(hole_bpx_problem):
     hist = tr.fit(train_ds, val_ds, verbose=False)
     assert hist[-1]["loss"] < hist[0]["loss"]
     assert np.isfinite(hist[-1]["coeff"])
+
+
+def test_amg_theta_omega_knobs(hole_bpx_problem):
+    """ProblemConfig.amg_theta/amg_omega reach the SA hierarchy: a much
+    stricter strength threshold changes the aggregates (and so the factor),
+    while the default matches the module fixture's."""
+    p_default = hole_bpx_problem
+    p_tuned = build_problem(
+        ProblemConfig(name="stokes_hole", bc="channel_flow", forcing="grf",
+                      hole_h=0.25, resol_in=16, bpx_levels=3,
+                      amg_theta=0.5, amg_omega=0.5)
+    )
+    G0, G1 = p_default.bpx64.G, p_tuned.bpx64.G
+    assert G0.shape[0] == G1.shape[0]  # same fine space
+    # theta=0.5 drops most strength edges -> different aggregation -> the
+    # congruence factor has a different column count or different entries
+    assert (G0.shape[1] != G1.shape[1]
+            or np.abs(G0 - G1).max() > 1e-12)
