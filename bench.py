@@ -362,6 +362,15 @@ def main() -> int:
         out["bsr_50k_adafactor_steps_per_sec"] = round(
             measure_steps_per_sec(traf, baf, 10), 3
         )
+        # scan-block variants: the BSR step is ~13 ms, so the tunnel's
+        # per-dispatch RPC latency is a double-digit-% tax on the per-step
+        # numbers above; one dispatch per 100 steps measures the chip
+        out["bsr_50k_scan100_steps_per_sec"] = round(
+            measure_scan_steps_per_sec(trb, bb), 3
+        )
+        out["bsr_50k_adafactor_scan100_steps_per_sec"] = round(
+            measure_scan_steps_per_sec(traf, baf), 3
+        )
         # composed lever: rank-512 factored head (~16x fewer head params ->
         # ~16x less optimizer traffic AND 3-matmul-pass traffic) + adafactor.
         # Opt-in (model head_rank kwarg); the parity default stays monolithic.
@@ -370,6 +379,9 @@ def main() -> int:
                                       optimizer="adafactor", head_rank=512)
         out["bsr_50k_rank512_af_steps_per_sec"] = round(
             measure_steps_per_sec(trfr, bfr, 10), 3
+        )
+        out["bsr_50k_rank512_af_scan100_steps_per_sec"] = round(
+            measure_scan_steps_per_sec(trfr, bfr), 3
         )
     except Exception as e:  # keep the headline JSON even if the stretch OOMs
         out["bsr_50k_error"] = type(e).__name__
