@@ -147,8 +147,19 @@ def cmd_train(args) -> int:
                  if f"{prefix}_truth" in z.files else None)
         return Dataset(batch, truth)
 
+    epochs_left = None  # fit() default = tc.epochs
+    if args.resume and args.ckpt_dir:
+        latest = trainer.latest_checkpoint(args.ckpt_dir)
+        if latest:
+            # full resume (see tools/ns_run.py): watchdog restarts lose at
+            # most one ckpt_every window
+            trainer.load_checkpoint(latest, params_only=False)
+            done = int(trainer.state.step)
+            epochs_left = max(0, args.epochs - done)
+            print(f"resumed {latest} (step {done}; {epochs_left} epochs "
+                  "left)", flush=True)
     t0 = time.time()
-    trainer.fit(_ds("train"), _ds("val"), verbose=True)
+    trainer.fit(_ds("train"), _ds("val"), epochs=epochs_left, verbose=True)
     wall = time.time() - t0
     final = trainer.history[-1]
     result = {
@@ -226,6 +237,9 @@ def main() -> int:
     t.add_argument("--scan-steps", type=int, default=0,
                    help="K train steps per device dispatch (lax.scan block; full-batch only)")
     t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--resume", action="store_true",
+                   help="full resume from the latest --ckpt-dir checkpoint "
+                        "(watchdog restart support)")
     t.add_argument("--log", default=None)
     t.add_argument("--out", default=None)
     t.set_defaults(fn=cmd_train)

@@ -82,6 +82,11 @@ def main() -> int:
                          "full-batch only) — one host RPC per K steps, so "
                          "the run is immune to host-side CPU contention")
     ap.add_argument("--init-from", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="full resume (params+opt_state+step) from the "
+                         "latest checkpoint in --ckpt-dir, running only the "
+                         "remaining epochs — watchdog restarts are lossless "
+                         "up to one ckpt_every window")
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--log", default=None)
     ap.add_argument("--out", default=None)
@@ -163,8 +168,21 @@ def main() -> int:
     if args.init_from:
         trainer.load_checkpoint(args.init_from)
         print(f"warm-started from {args.init_from}", flush=True)
+    epochs_left = None  # fit() default = tc.epochs
+    if args.resume and args.ckpt_dir:
+        latest = trainer.latest_checkpoint(args.ckpt_dir)
+        if latest:
+            # full resume: params + opt state (the cosine schedule counts
+            # inside opt_state, so annealing continues on the original
+            # horizon) + EMA + step. Used by tools/watchdog_run.py restarts
+            # so a lost-RPC kill costs at most one ckpt_every window.
+            trainer.load_checkpoint(latest, params_only=False)
+            done = int(trainer.state.step)
+            epochs_left = max(0, args.epochs - done)
+            print(f"resumed {latest} (step {done}; {epochs_left} epochs "
+                  "left)", flush=True)
     t0 = time.time()
-    hist = trainer.fit(train_ds, val_ds, verbose=True)
+    hist = trainer.fit(train_ds, val_ds, epochs=epochs_left, verbose=True)
     final = {k: v for k, v in hist[-1].items() if k != "time_per_epoch"}
     result = {
         "problem": f"steady_ns nx={args.nx} (ng={p.ng}) {args.bc} sincos, "
