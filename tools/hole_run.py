@@ -120,6 +120,7 @@ def cmd_train(args) -> int:
         grad_clip=args.grad_clip,
         moment_dtype=args.moment_dtype,
         resample_every=args.resample_every,
+        divergence_factor=args.divergence_factor,
         epochs=args.epochs,
         num_train=n_train,
         num_val=int(z["val_truth"].shape[0]),
@@ -161,7 +162,15 @@ def cmd_train(args) -> int:
     t0 = time.time()
     trainer.fit(_ds("train"), _ds("val"), epochs=epochs_left, verbose=True)
     wall = time.time() - t0
-    final = trainer.history[-1]
+    # history may end with a divergence-guard record ({'diverged': epoch,
+    # 'restored_best': ...} — no metric keys). Report the metrics of the
+    # state actually held: the best-restored epoch's eval record.
+    guard = trainer.history[-1] if "diverged" in trainer.history[-1] else None
+    evals = [r for r in trainer.history if "u1" in r]
+    if guard is not None and guard.get("restored_best"):
+        final = next(r for r in evals if r["epoch"] == guard["best_epoch"])
+    else:
+        final = evals[-1]
     result = {
         "problem": f"stokes_hole ne={p.space.mesh.num_cells} (ng={p.ng}) "
                    f"channel_flow GRF, {args.model} + "
@@ -174,6 +183,10 @@ def cmd_train(args) -> int:
         "lr": f"{args.lr} {args.lr_schedule}",
         "ema_decay": args.ema_decay,
         "rel_l2": {k: final[k] for k in ("u1", "u2", "p", "coeff")},
+        **({"divergence_guard": {
+            "tripped_at": guard["diverged"],
+            "reported_epoch": final["epoch"],
+        }} if guard is not None else {}),
         "reference": {
             "u1": 0.1409, "u2": 0.5721, "p": 0.8972, "coeff": 0.5869,
             "note": "unconverged — open problem in the reference",
@@ -226,6 +239,12 @@ def main() -> int:
     t.add_argument("--lr-schedule", default="cosine")
     t.add_argument("--ema-decay", type=float, default=0.0)
     t.add_argument("--resample-every", type=int, default=0)
+    t.add_argument("--divergence-factor", type=float, default=1e4,
+                   help="loss/loss_min abort threshold (TrainConfig."
+                        "divergence_factor); 0 disables — the label-free "
+                        "resampled BPX objective on the hole spikes "
+                        "transiently by >1e4x and self-recovers (r2 "
+                        "hole512_bpx job 65; r4 arm-A false abort)")
     t.add_argument("--grad-clip", type=float, default=0.0)
     t.add_argument("--moment-dtype", default="float32",
                    choices=["float32", "bfloat16"],

@@ -52,6 +52,17 @@ def main() -> int:
     ap.add_argument("--nx", type=int, default=15)
     ap.add_argument("--bc", default="lower")
     ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--reuse-cache-truth", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="use the cache's val_truth as the mu_factor=1.0 arm "
+                         "(build_ns_cache solves exactly that system for "
+                         "exactly these samples) instead of re-solving it — "
+                         "halves the host-f64 cost at the 47k scale")
+    ap.add_argument("--chunk", type=int, default=24,
+                    help="solve the halved-mu arm in chunks of this many "
+                         "samples, writing a partial --out after each (a "
+                         "killed run still leaves n_done-sample evidence); "
+                         "0 = one batch")
     ap.add_argument("--out", default="runs/r2/ns_mu_ab.json")
     args = ap.parse_args()
 
@@ -79,10 +90,46 @@ def main() -> int:
     load64 = p10.load64(batch)
     # training-coordinate loads: shift_output (stokes_shift) consumes them
     batch["load"] = jnp.asarray(p10._train_load64(batch), jnp.float32)
-    print(f"solving {args.n} instances under both truths "
-          f"[{time.time()-t0:.0f}s]", flush=True)
-    u10, rel10, _ = p10._solve_ns_batch(load64)
-    u05, rel05, _ = p05._solve_ns_batch(load64)
+    if args.reuse_cache_truth and "val_truth" in z.files:
+        # build_ns_cache's val_truth IS the mu_factor=1.0 stable-branch
+        # solve of these exact samples (sample_converged enforced rel<tol)
+        u10 = np.asarray(z["val_truth"], np.float64)[: args.n]
+        rel10 = np.zeros(args.n)
+        print(f"mu_factor=1.0 arm reused from cache val_truth "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+    else:
+        print(f"solving {args.n} instances under mu_factor=1.0 "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+        u10, rel10, _ = p10._solve_ns_batch(load64)
+
+    def _partial(n_done, delta):
+        res = {
+            "config": f"steady_ns nx={args.nx} {args.bc}, "
+                      f"{n_done}/{args.n} samples (partial)",
+            "truth_delta_rel_l2_(mu05_vs_mu10)": {
+                k: float(v) for k, v in delta.items()
+            },
+        }
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(res, f, indent=1)
+
+    chunk = args.chunk or args.n
+    u05_parts, rel05_parts = [], []
+    for lo in range(0, args.n, chunk):
+        hi = min(args.n, lo + chunk)
+        print(f"solving mu_factor=0.5 arm [{lo}:{hi}) "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+        uc, rc, _ = p05._solve_ns_batch(load64[lo:hi])
+        u05_parts.append(uc)
+        rel05_parts.append(rc)
+        okp = (np.concatenate(rel05_parts) < 1e-8) & (rel10[:hi] < 1e-8)
+        dp = component_errors(
+            jnp.asarray(np.concatenate(u05_parts)[okp]),
+            jnp.asarray(u10[:hi][okp]), p10.n2)
+        _partial(hi, dp)
+    u05 = np.concatenate(u05_parts)
+    rel05 = np.concatenate(rel05_parts)
     ok = (rel10 < 1e-8) & (rel05 < 1e-8)
     u10, u05 = u10[ok], u05[ok]
     print(f"{int(ok.sum())}/{args.n} converged under both", flush=True)
