@@ -102,6 +102,9 @@ def main() -> int:
             "wall_s": dt_k, "per_sample_s": dt_k / len(coeff_f),
         }
         print(f"refine {k}:", json.dumps(rec[f"refine_{k}"]), flush=True)
+        if args.out:  # partial write: a killed run keeps finished stages
+            with open(args.out, "w") as f:
+                json.dump(rec, f, indent=1)
 
     # cold-solve cost reference
     t0 = time.time()
