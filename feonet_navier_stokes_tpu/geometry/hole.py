@@ -7,9 +7,8 @@ FEONet-square-with-hole/assemble_fenics.py:48-50).
 Strategy (host-side, one-time): a distmesh-style generator — quasi-uniform
 seed points, explicit square/circle boundary sampling, Delaunay + Laplacian
 smoothing with boundary projection, then discard triangles inside the hole.
-If the optional native C++ generator (native/meshgen.cpp) has been built, it
-is used for the point smoothing; otherwise the numpy path below runs (both
-produce the same mesh family; the C++ path is faster for fine meshes).
+Pure numpy: mesh generation is one-time offline setup (seconds even at
+h=0.03 / 8k elements), so it stays on the host path.
 """
 
 from __future__ import annotations

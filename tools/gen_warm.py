@@ -62,6 +62,10 @@ def main() -> int:
                          "refine + sparse cold fallback); forces equilibrate/"
                          "stokes-shift off and precond off (a dense inverse "
                          "is impossible at that scale)")
+    ap.add_argument("--bpx-levels", type=int, default=0,
+                    help="surrogate trained in BPX w-coordinates (network "
+                         "emits w, u = G w + u_bc) — required to load such "
+                         "a checkpoint (d_out = m, not ng)")
     ap.add_argument("--model", default="UNetWithHead")
     ap.add_argument("--model-kwargs", default="{}")
     ap.add_argument("--steps", type=int, default=12, help="max Newton steps")
@@ -82,13 +86,13 @@ def main() -> int:
     if args.op_format == "bsr":
         pc = ProblemConfig(
             name="steady_ns", bc=args.bc, nx=args.nx, ns_branch="stable",
-            op_format="bsr",
+            op_format="bsr", bpx_levels=args.bpx_levels,
         )
     else:
         pc = ProblemConfig(
             name="steady_ns", bc=args.bc, nx=args.nx, ns_branch="stable",
             equilibrate=args.equilibrate, precond_mode=args.precond_mode,
-            stokes_shift=args.stokes_shift,
+            stokes_shift=args.stokes_shift, bpx_levels=args.bpx_levels,
         )
     p = build_problem(pc)
     tc = TrainConfig(model=args.model,

@@ -165,10 +165,18 @@ def cmd_train(args) -> int:
     # history may end with a divergence-guard record ({'diverged': epoch,
     # 'restored_best': ...} — no metric keys). Report the metrics of the
     # state actually held: the best-restored epoch's eval record.
-    guard = trainer.history[-1] if "diverged" in trainer.history[-1] else None
+    # Either guard path (divergence abort OR normal end-of-run best-restore)
+    # leaves a trailing {'restored_best': ..., 'best_epoch': ...} record: the
+    # state actually held/checkpointed is the best epoch's, so report THAT
+    # eval record, not the last one (ADVICE r4).
+    tail = trainer.history[-1] if trainer.history else {}
+    guard = tail if ("diverged" in tail or "restored_best" in tail) else None
     evals = [r for r in trainer.history if "u1" in r]
+    if not evals:  # diverged before the first eval window
+        evals = [{"epoch": int(trainer.state.step), **trainer.evaluate(_ds("val"))}]
     if guard is not None and guard.get("restored_best"):
-        final = next(r for r in evals if r["epoch"] == guard["best_epoch"])
+        final = next((r for r in evals if r["epoch"] == guard.get("best_epoch")),
+                     evals[-1])
     else:
         final = evals[-1]
     result = {
@@ -186,7 +194,7 @@ def cmd_train(args) -> int:
         **({"divergence_guard": {
             "tripped_at": guard["diverged"],
             "reported_epoch": final["epoch"],
-        }} if guard is not None else {}),
+        }} if guard is not None and "diverged" in guard else {}),
         "reference": {
             "u1": 0.1409, "u2": 0.5721, "p": 0.8972, "coeff": 0.5869,
             "note": "unconverged — open problem in the reference",

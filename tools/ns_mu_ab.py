@@ -85,11 +85,23 @@ def main() -> int:
     p05 = build_problem(ProblemConfig(**base, ns_truth_mu_factor=0.5))
 
     z = np.load(args.data_cache, allow_pickle=True)
+    n_val = int(np.asarray(z["val_batch_coeff_f"]).shape[0])
+    if args.n > n_val:  # ADVICE r4: over-asking produced a rel10/u10 shape
+        print(f"clamping --n {args.n} -> cache val size {n_val}", flush=True)
+        args.n = n_val  # mismatch at the final mask
     coeff_f = np.asarray(z["val_batch_coeff_f"])[: args.n]
     batch = {"coeff_f": jnp.asarray(coeff_f, jnp.float32)}
     load64 = p10.load64(batch)
     # training-coordinate loads: shift_output (stokes_shift) consumes them
     batch["load"] = jnp.asarray(p10._train_load64(batch), jnp.float32)
+    if args.reuse_cache_truth and "fingerprint" not in z.files:
+        # ADVICE r4: only build_ns_cache-era caches (fingerprinted) carry a
+        # sample_converged val_truth; the r2 damped-Newton cache does not —
+        # reusing it would assert rel=0 for possibly-unconverged truths
+        print("cache has no fingerprint (pre-sample_converged era): "
+              "re-solving the mu_factor=1.0 arm instead of reusing",
+              flush=True)
+        args.reuse_cache_truth = False
     if args.reuse_cache_truth and "val_truth" in z.files:
         # build_ns_cache's val_truth IS the mu_factor=1.0 stable-branch
         # solve of these exact samples (sample_converged enforced rel<tol)

@@ -178,11 +178,19 @@ def main() -> int:
             # so a lost-RPC kill costs at most one ckpt_every window.
             trainer.load_checkpoint(latest, params_only=False)
             done = int(trainer.state.step)
+            # state.step counts optimizer STEPS; in minibatch mode each
+            # epoch is n_batches steps (ADVICE r4: subtracting raw steps
+            # undercounted the remaining epochs, often to 0)
+            if args.batch_size:
+                n_batches = -(-train_ds.n // args.batch_size)
+                done = done // n_batches
             epochs_left = max(0, args.epochs - done)
-            print(f"resumed {latest} (step {done}; {epochs_left} epochs "
+            print(f"resumed {latest} ({done} epochs done; {epochs_left} "
                   "left)", flush=True)
     t0 = time.time()
     hist = trainer.fit(train_ds, val_ds, epochs=epochs_left, verbose=True)
+    if not hist:  # resumed past the horizon: report a fresh eval instead
+        hist = [{"epoch": int(trainer.state.step), **trainer.evaluate(val_ds)}]
     final = {k: v for k, v in hist[-1].items() if k != "time_per_epoch"}
     result = {
         "problem": f"steady_ns nx={args.nx} (ng={p.ng}) {args.bc} sincos, "

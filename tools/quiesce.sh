@@ -28,13 +28,20 @@ for q in /tmp/tpuq /tmp/cpuq; do
     echo "$q: runner $rpid already gone"
     continue
   fi
-  # runner first so it cannot start the next job, then children deepest-first
-  kids=$(descendants "$rpid")
+  # runner first so it cannot start the next job, then children deepest-first.
+  # Re-snapshot in a short loop (ADVICE r4): a watchdog child mid-restart can
+  # spawn a trainer AFTER the first snapshot; iterate until the set is empty.
   kill "$rpid" 2>/dev/null
-  for pid in $kids; do kill "$pid" 2>/dev/null; done
-  sleep 5
-  for pid in $kids; do kill -9 "$pid" 2>/dev/null; done
-  echo "$q: killed runner $rpid + descendants:" $kids
+  for attempt in 1 2 3 4 5; do
+    kids=$(descendants "$rpid")
+    [ -z "$kids" ] && break
+    for pid in $kids; do kill "$pid" 2>/dev/null; done
+    sleep 3
+    for pid in $kids; do kill -9 "$pid" 2>/dev/null; done
+    sleep 1
+  done
+  kill -0 "$rpid" 2>/dev/null && kill -9 "$rpid" 2>/dev/null
+  echo "$q: killed runner $rpid + descendants (last set:" $kids ")"
 done
 
 # park unstarted jobs so a restarted runner can't pick them up mid-bench

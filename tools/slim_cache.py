@@ -52,7 +52,7 @@ def cmd_rehydrate(args) -> int:
     p = build_problem(ProblemConfig(
         name="steady_ns", bc=args.bc, nx=args.nx,
         equilibrate=args.equilibrate, ns_branch=args.ns_branch,
-        bpx_levels=args.bpx_levels,
+        bpx_levels=args.bpx_levels, op_format=args.op_format,
     ))
     z = np.load(args.slim, allow_pickle=True)
     payload = {k: z[k] for k in z.files}
@@ -101,6 +101,9 @@ def main() -> int:
                    default=True)
     r.add_argument("--ns-branch", default="stable")
     r.add_argument("--bpx-levels", type=int, default=0)
+    r.add_argument("--op-format", default="dense", choices=["dense", "bsr"],
+                   help="bsr at the ~47k scale: load re-assembly needs no "
+                        "operator, and the dense A64 alone is 18 GB there")
     r.set_defaults(fn=cmd_rehydrate)
     args = ap.parse_args()
     return args.fn(args)
