@@ -15,6 +15,7 @@ from .assemble import (
     apply_bc_vector,
 )
 from .bcs import BoundaryCondition, make_bc, BCData
+from .device_assemble import make_device_load_sincos, make_device_load_grf
 
 __all__ = [
     "triangle_quadrature",
@@ -34,6 +35,8 @@ __all__ = [
     "assemble_load_constant",
     "apply_bc_matrix",
     "apply_bc_vector",
+    "make_device_load_sincos",
+    "make_device_load_grf",
     "BoundaryCondition",
     "make_bc",
     "BCData",

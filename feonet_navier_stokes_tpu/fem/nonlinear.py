@@ -110,3 +110,68 @@ def make_true_convection(
         return J
 
     return conv_fn, jac_fn
+
+
+def make_convection_pair(
+    space: TaylorHoodSpace, degree: int = 4, dtype=np.float64,
+    chunk: int = 2048,
+) -> Callable[[Array, Array], Array]:
+    """Bilinear convection ``Q(a, b)_i = ∫ (a·∇)b · φ_i dx`` (batched numpy).
+
+    The polarization pieces of the weak trilinear form: ``conv_fn(u) ==
+    Q(u, u)`` with ``conv_fn`` from :func:`make_true_convection` (same
+    quadrature). The defect correctors (linalg/ns_corrector.py) need the
+    individual bilinear terms ``Q(u0, e) + Q(e, u0) + Q(e, e)`` so that the
+    small-magnitude convection increment is computed WITHOUT the
+    catastrophic f32 cancellation of ``conv(u0 + e) - conv(u0)``.
+
+    ``dtype=float32`` builds a float32 evaluation path — the op class of a
+    deployed solver-free corrector (einsums + gather/scatter only);
+    ``float64`` matches ``make_true_convection`` to machine precision.
+
+    a, b: (..., ng) arrays; returns (..., ng). Leading dims are flattened
+    and processed in ``chunk``-row blocks to bound the (B, nc, nq) buffers.
+    """
+    _, _, _, _, v2, _ = _tabulate(degree)
+    gp64, wdet64 = _phys_grad_p2(space, degree)
+    v2j = np.asarray(v2, dtype=dtype)  # (nq, 6)
+    gp = np.asarray(gp64, dtype=dtype)  # (nc, nq, 6, 2)
+    wdet = np.asarray(wdet64, dtype=dtype)  # (nc, nq)
+    dofs = space.cell_dofs_p2  # (nc, 6)
+    n2, n1, ng = space.n2, space.n1, space.ng
+    P = _p2_scatter_matrix(space).astype(dtype)  # (n2, nc*6) CSR
+    wphi = np.einsum("cq,qi->cqi", wdet, v2j)  # (nc, nq, 6)
+
+    def pair_chunk(a: Array, b: Array) -> Array:
+        """(B, ng) x (B, ng) -> (B, ng)."""
+        B = a.shape[0]
+        a1e = a[:, :n2][:, dofs]  # (B, nc, 6)
+        a2e = a[:, n2 : 2 * n2][:, dofs]
+        b1e = b[:, :n2][:, dofs]
+        b2e = b[:, n2 : 2 * n2][:, dofs]
+        a1q = np.einsum("qi,bci->bcq", v2j, a1e)  # (B, nc, nq)
+        a2q = np.einsum("qi,bci->bcq", v2j, a2e)
+        gb1 = np.einsum("cqid,bci->bcqd", gp, b1e)  # (B, nc, nq, 2)
+        gb2 = np.einsum("cqid,bci->bcqd", gp, b2e)
+        c1 = a1q * gb1[..., 0] + a2q * gb1[..., 1]
+        c2 = a1q * gb2[..., 0] + a2q * gb2[..., 1]
+        el1 = np.einsum("cqi,bcq->bci", wphi, c1)  # (B, nc, 6)
+        el2 = np.einsum("cqi,bcq->bci", wphi, c2)
+        out = np.zeros((B, ng), dtype=dtype)
+        out[:, :n2] = (P @ el1.reshape(B, -1).T).T
+        out[:, n2 : 2 * n2] = (P @ el2.reshape(B, -1).T).T
+        return out
+
+    def pair_fn(a: Array, b: Array) -> Array:
+        a = np.asarray(a, dtype=dtype)
+        b = np.asarray(b, dtype=dtype)
+        shape = a.shape
+        a2d = a.reshape(-1, ng)
+        b2d = b.reshape(-1, ng)
+        out = np.empty_like(a2d)
+        for lo in range(0, a2d.shape[0], chunk):
+            hi = min(lo + chunk, a2d.shape[0])
+            out[lo:hi] = pair_chunk(a2d[lo:hi], b2d[lo:hi])
+        return out.reshape(shape)
+
+    return pair_fn

@@ -12,6 +12,13 @@ from .linear_fit import (
 from .newton import (masked_convection, ns_residual, newton_solve_ns,
                      stable_solve_ns, stable_solve_ns_sparse,
                      stable_solve_weak)
+from .ns_corrector import (
+    steady_weak_residual,
+    steady_defect_fit,
+    apply_steady_defect_fit,
+    tdns_step_fit,
+    apply_tdns_step_fit,
+)
 
 __all__ = [
     "spai",
@@ -34,4 +41,9 @@ __all__ = [
     "stable_solve_ns",
     "stable_solve_ns_sparse",
     "stable_solve_weak",
+    "steady_weak_residual",
+    "steady_defect_fit",
+    "apply_steady_defect_fit",
+    "tdns_step_fit",
+    "apply_tdns_step_fit",
 ]

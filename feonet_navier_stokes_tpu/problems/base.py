@@ -935,6 +935,9 @@ class Problem:
                 out["u0_prev"] = jnp.asarray(prev, dtype=dtype)
                 out["B1u0p"] = jnp.asarray(B1p, dtype=dtype)
                 out["B2u0p"] = jnp.asarray(B2p, dtype=dtype)
+                # full physical stage-1 trajectory (t = 1..T): defect_truth64
+                # needs u0_T, which the lagged `prev` does not contain
+                out["u0_phys"] = jnp.asarray(u_phys, dtype=dtype)
             if dr_dc is not None:
                 r0 = r0 * dr_dc[0]
             # loss computes lhs - (S e_prev + dt*load): load = -r0/dt
@@ -994,8 +997,9 @@ class Problem:
         return out
 
     def defect_truth64(self, defect_batch: dict[str, Array]) -> np.ndarray:
-        """Exact PHYSICAL correction trajectory e* for a timedep_stokes
-        defect batch (host f64): the unique solution of the defect recursion
+        """Exact PHYSICAL correction e* for a defect batch (host f64).
+
+        timedep_stokes: the unique solution of the defect recursion
 
             sys64 e_t = S64 e_{t-1} + dt * loadphys_t,   e_0 = 0
 
@@ -1004,15 +1008,34 @@ class Problem:
         labels for a SUPERVISED stage-2 cost T matvecs/solves per sample,
         no Newton/FEniCS (cf. the reference's create_data.py solves). The
         returned (B, T+1, ng) includes the zero t=0 row so it matches the
-        trainer's truth[:, 1:T+1] slicing convention."""
+        trainer's truth[:, 1:T+1] slicing convention.
+
+        timedep_ns: each IMEX step is linear given the previous state, so
+        the exact corrected trajectory is the true rollout itself restarted
+        from u_init (one factorization, T solves — Problem.ground_truth);
+        e* = truth - stage1, (B, T+1, ng) with e*_0 = 0.
+
+        steady_ns: the defect solves the exactly-quadratic system
+        J(u0) e + Q(e,e) = r0 — a warm-started damped-Newton refinement
+        (refine_ns) from the stored stage-1 state; returns (B, ng)."""
         import scipy.linalg as sla
         import scipy.sparse as sp
 
         c = self.config
+        if c.name == "steady_ns":
+            u0 = np.asarray(defect_batch["u0"], dtype=np.float64)
+            refined, _rel = self.refine_ns(u0, defect_batch, steps=6)
+            return refined - u0
+        if c.name == "timedep_ns":
+            u0_phys = np.asarray(defect_batch["u0_phys"], dtype=np.float64)
+            T = u0_phys.shape[1]
+            truth = self.ground_truth(defect_batch, n_steps=T)
+            U0 = np.concatenate([truth[:, :1], u0_phys], axis=1)
+            return truth - U0
         if c.name != "timedep_stokes":
             raise NotImplementedError(
-                "defect_truth64: exact defect solve implemented for "
-                f"timedep_stokes only (got {c.name!r})")
+                "defect_truth64: implemented for timedep_stokes, "
+                f"timedep_ns and steady_ns (got {c.name!r})")
         load_train = np.asarray(defect_batch["load"], dtype=np.float64)
         if self.equil64 is not None:
             load_train = load_train / self.equil64[0]
