@@ -156,6 +156,16 @@ def steady_defect_fit(
     notes). The defects are free labels: e = cached truth - stage-1
     prediction, no solves anywhere.
 
+    MEASURED LIMIT (round 5): on the real ne=450 stage-1 this — and every
+    solver-free variant probed — fails to contract: per-sample convection-
+    Jacobian variation is O(1) there, and per-sample defects keep a 0.4-1%
+    component outside any common PCA subspace that cond(J)~1e4 amplifies
+    (runs/r5/forensic_*.py, docs/conditioning.md section 6c). Use
+    Problem.refine_ns(steps=1) — the per-sample linear defect solve — as
+    the steady corrector in that regime; this construction is for the
+    mild-Jacobian-variation regimes where it provably contracts
+    (tests/test_ns_corrector.py).
+
     u0:    (B, ng) frozen stage-1 predictions in SOLUTION coordinates
     truth: (B, ng) cached ground truths for the same samples
     loads: (B, ng) BC-applied weak-form load vectors (problem.load64)
