@@ -76,6 +76,11 @@ def _add_problem_flags(p: argparse.ArgumentParser) -> None:
                         "levels (0 = off; stokes_square/steady_ns via the "
                         "structured nested-mesh hierarchy, stokes_hole via "
                         "the algebraic SA-AMG hierarchy)")
+    p.add_argument("--device-loads", action="store_true",
+                   help="assemble training loads on device (jit einsum + "
+                        "segment_sum; fem/device_assemble.py) — the "
+                        "resample_every infinite-data lever on a single-"
+                        "core host; ground truth keeps the host f64 path")
     p.add_argument("--pad-ng", action="store_true",
                    help="pad ng to the next 128 multiple through head + "
                         "dense operators (MXU tile alignment; dense steady-"
@@ -126,6 +131,7 @@ def _build_problem(args):
         equilibrate=args.equilibrate,
         rollout_metric=args.rollout_metric,
         p_weight=args.p_weight,
+        device_loads=getattr(args, "device_loads", False),
     )
     return build_problem(cfg)
 

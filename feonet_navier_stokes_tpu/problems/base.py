@@ -206,6 +206,17 @@ class ProblemConfig:
     # path.
     amg_theta: float = 0.08
     amg_omega: float = 2.0 / 3.0
+    # Assemble TRAINING load vectors on device (fem/device_assemble.py:
+    # jit einsum + segment_sum at the training dtype) instead of the host
+    # f64 path. The training-time lever for the resample_every infinite-
+    # data regime on a single-core host (the reference's per-sample FEniCS
+    # assemble(l) hot loop, FEONet_Stokes_square/assemble_fenics.py:128-135
+    # — its CPU-bound analog). Ground truth ALWAYS recomputes loads on the
+    # host in f64 from the stored parameters (load64), so truths are
+    # unaffected; training loads differ from the host path only by f32
+    # rounding. sincos forcing only (GRF featurization is host-bound
+    # elsewhere); off by default for bit-stable parity with cached runs.
+    device_loads: bool = False
     # Pad ng up to the next 128 multiple through the head + dense operators:
     # ng=2563 -> 2688 costs ~10% padded-out MXU work on the head and loss
     # matmuls when left to XLA's implicit tile padding (docs/performance.md
@@ -598,6 +609,9 @@ class Problem:
         if c.forcing == "sincos":
             coeffs = sample_sincos_coeffs(key, n)  # f32 draws
             batch = {"coeff_f": jnp.asarray(coeffs, dtype=dtype)}
+            if c.device_loads:
+                batch["load"] = self._device_train_load(batch["coeff_f"])
+                return batch
             load = self._train_load64(batch)
             if self.ng_pad != self.space.ng:  # pad_ng: residual pad rows 0-0
                 load = np.pad(load, ((0, 0), (0, self.ng_pad - self.space.ng)))
@@ -628,6 +642,28 @@ class Problem:
         if self.equil64 is not None:
             load64 = load64 * self.equil64[0]
         return load64
+
+    def _device_train_load(self, coeffs: Array) -> Array:
+        """Training loads assembled ON DEVICE (ProblemConfig.device_loads):
+        jit einsum + segment_sum at the training dtype, BC rows lifted and
+        the equilibration row scale applied — matches _train_load64 to f32
+        rounding (tests/test_device_assemble.py). Used by the
+        resample_every infinite-data path; ground truth keeps load64."""
+        c = self.config
+        fn = getattr(self, "_device_load_fn", None)
+        if fn is None:
+            from ..fem.device_assemble import make_device_load_sincos
+
+            fn = jax.jit(make_device_load_sincos(
+                self.space, self.bc.mask, self.bc.values, dtype=c.dtype,
+                validate_form=c.validate_form))
+            self._device_load_fn = fn
+        load = fn(coeffs)
+        if self.equil64 is not None:
+            load = load * jnp.asarray(self.equil64[0], dtype=c.dtype)
+        if self.ng_pad != self.space.ng:
+            load = jnp.pad(load, ((0, 0), (0, self.ng_pad - self.space.ng)))
+        return load
 
     def load64(self, batch: dict[str, Array], raw: bool = False) -> np.ndarray:
         """(B, ng) float64 load vectors, recomputed exactly from the float32

@@ -68,3 +68,21 @@ def test_device_assembly_throughput_smoke():
     out.block_until_ready()
     assert out.shape == (64, sp.ng)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_problem_device_loads_flag():
+    """ProblemConfig.device_loads: sample_batch's training loads match the
+    host f64 path to f32 rounding, for plain, equilibrated and BPX
+    problems (ground truth is unaffected — load64 stays host f64)."""
+    from feonet_navier_stokes_tpu.problems import ProblemConfig, build_problem
+
+    for name, kw in (("stokes_square", {}),
+                     ("stokes_square", {"equilibrate": True}),
+                     ("steady_ns", {"bpx_levels": 2})):
+        p_host = build_problem(ProblemConfig(name=name, bc="lower", nx=4, **kw))
+        p_dev = build_problem(ProblemConfig(name=name, bc="lower", nx=4,
+                                            device_loads=True, **kw))
+        b_h = p_host.sample_batch(jax.random.PRNGKey(3), 6)
+        b_d = p_dev.sample_batch(jax.random.PRNGKey(3), 6)
+        assert _rel(b_d["load"], np.asarray(b_h["load"], np.float64)) < 1e-5, \
+            (name, kw)
