@@ -127,6 +127,7 @@ def cmd_train(args) -> int:
         eval_every=args.eval_every,
         scan_steps=args.scan_steps,
         ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
         log_path=args.log,
         truth_for_train="train_truth" in z.files,
     )
@@ -264,6 +265,11 @@ def main() -> int:
     t.add_argument("--scan-steps", type=int, default=0,
                    help="K train steps per device dispatch (lax.scan block; full-batch only)")
     t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--ckpt-every", type=int, default=None,
+                   help="checkpoint cadence (default = eval_every). The 38k "
+                        "config's 756 MB orbax writes correlate with axon "
+                        "lost-RPC wedges — a sparser cadence halves the "
+                        "exposure at the cost of more redo on restart")
     t.add_argument("--resume", action="store_true",
                    help="full resume from the latest --ckpt-dir checkpoint "
                         "(watchdog restart support)")
