@@ -119,11 +119,26 @@ def cmd_train(args) -> int:
     t0 = time.time()
     trainer.fit(train_ds, val_ds, verbose=True)
     wall = time.time() - t0
-    final = trainer.history[-1]
+    # the trailing record may be a guard/best-restore marker (no metric
+    # keys) — report the eval record of the state actually held (the
+    # hole_run fix, ADVICE r4 pattern; surfaced by the r5 precision=high
+    # divergence)
+    tail = trainer.history[-1] if trainer.history else {}
+    evals = [r for r in trainer.history if "u1" in r]
+    if not evals:
+        evals = [{"epoch": int(trainer.state.step),
+                  **trainer.evaluate(val_ds)}]
+    if tail.get("restored_best"):
+        final = next((r for r in evals if r["epoch"] == tail.get("best_epoch")),
+                     evals[-1])
+    else:
+        final = evals[-1]
     result = {
         "problem": "stokes_square ne=72 channel_flow UNetWithHead+SPAI",
         "epochs": args.epochs,
         "wall_s": round(wall, 1),
+        **({"restored_best_epoch": final["epoch"]}
+           if tail.get("restored_best") else {}),
         "rel_l2": {k: final[k] for k in ("u1", "u2", "p", "coeff")},
         "reference": {"u1": 0.0090, "u2": 0.0132, "p": 0.0013, "coeff": 0.0050},
     }
